@@ -1,0 +1,246 @@
+"""Hierarchical YAML configuration system.
+
+Self-contained replacement for the reference's fvcore-based config stack
+(reference: utils/experiment_manager.py:11-90). Behavioural contract kept:
+
+  * attribute-style access on nested nodes (``cfg.TRAINER.LR``),
+  * ``_BASE_`` file inheritance resolved relative to the config file
+    (fvcore ``load_yaml_with_base`` semantics; child keys win),
+  * new keys may always be introduced by YAML or CLI overrides
+    (the reference forces ``new_allowed=True``, experiment_manager.py:24-27),
+  * ``merge_from_list`` for ``KEY.SUBKEY value`` CLI override pairs,
+  * ``setup_cfg`` / ``setup_cfg_manual`` / ``load_cfg`` entry points with the
+    same signatures (experiment_manager.py:59-90).
+
+Unlike fvcore, YAML is loaded with ``yaml.safe_load`` — config files are
+data, not code, so unsafe loading is deliberately not reproduced.
+"""
+
+from __future__ import annotations
+
+import ast
+import copy
+from pathlib import Path
+
+import yaml
+
+BASE_KEY = "_BASE_"
+
+
+class CfgNode(dict):
+    """A dict with attribute access and recursive merge support."""
+
+    def __init__(self, init_dict: dict | None = None):
+        super().__init__()
+        if init_dict:
+            for k, v in init_dict.items():
+                self[k] = self._convert(v)
+
+    @classmethod
+    def _convert(cls, value):
+        if isinstance(value, dict) and not isinstance(value, CfgNode):
+            return cls(value)
+        if isinstance(value, (list, tuple)):
+            return [cls._convert(v) for v in value]
+        if isinstance(value, str):
+            # PyYAML leaves scientific notation without a dot ('1e-4') as a
+            # string; coerce Python literals the way yacs/fvcore do at merge
+            # time so `LR: 1e-4` becomes a float (reference relies on this).
+            try:
+                return ast.literal_eval(value)
+            except (ValueError, SyntaxError, MemoryError, TypeError):
+                return value
+        return value
+
+    # -- attribute access -------------------------------------------------
+    def __getattr__(self, name: str):
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(
+                f"Config key '{name}' not found. Available: {sorted(self.keys())}"
+            ) from None
+
+    def __setattr__(self, name: str, value):
+        self[name] = self._convert(value)
+
+    def __delattr__(self, name: str):
+        try:
+            del self[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    # -- merging -----------------------------------------------------------
+    def merge_from_other_cfg(self, other: "CfgNode | dict") -> None:
+        _merge_into(self, other)
+
+    def merge_from_file(self, cfg_filename: str | Path, allow_unsafe: bool = True) -> None:
+        # allow_unsafe kept for signature parity (experiment_manager.py:30);
+        # loading is always yaml.safe_load here.
+        del allow_unsafe
+        loaded = load_yaml_with_base(cfg_filename)
+        self.merge_from_other_cfg(loaded)
+
+    def merge_from_list(self, opts: list | None) -> None:
+        """Merge ``[KEY, value, KEY, value, ...]`` CLI override pairs.
+
+        Values are parsed with yaml (so ``1e-4`` -> float, ``[1,2]`` -> list,
+        ``True`` -> bool); unparseable strings stay strings. Dotted keys
+        address nested nodes and create them if missing.
+        """
+        if not opts:
+            return
+        if len(opts) % 2 != 0:
+            raise ValueError(f"Override list must have even length, got {opts}")
+        for full_key, raw in zip(opts[0::2], opts[1::2]):
+            node = self
+            parts = full_key.split(".")
+            for part in parts[:-1]:
+                if part not in node or not isinstance(node[part], CfgNode):
+                    node[part] = CfgNode()
+                node = node[part]
+            node[parts[-1]] = self._convert(_decode_value(raw))
+
+    # -- utilities ----------------------------------------------------------
+    def clone(self) -> "CfgNode":
+        return copy.deepcopy(self)
+
+    def to_dict(self) -> dict:
+        out = {}
+        for k, v in self.items():
+            out[k] = _plain(v)
+        return out
+
+    def dump(self, **kwargs) -> str:
+        return yaml.safe_dump(self.to_dict(), sort_keys=True, **kwargs)
+
+    def __reduce__(self):
+        # Makes CfgNode picklable across process boundaries (data workers).
+        return (CfgNode, (self.to_dict(),))
+
+
+def _plain(value):
+    if isinstance(value, CfgNode):
+        return value.to_dict()
+    if isinstance(value, list):
+        return [_plain(v) for v in value]
+    return value
+
+
+def _merge_into(dst: CfgNode, src: dict) -> None:
+    for k, v in src.items():
+        if k in dst and isinstance(dst[k], CfgNode) and isinstance(v, dict):
+            _merge_into(dst[k], v)
+        else:
+            dst[k] = CfgNode._convert(v)
+
+
+def _decode_value(raw):
+    if not isinstance(raw, str):
+        return raw
+    try:
+        return yaml.safe_load(raw)
+    except yaml.YAMLError:
+        return raw
+
+
+def load_yaml_with_base(filename: str | Path) -> CfgNode:
+    """Load a YAML config, recursively resolving ``_BASE_`` inheritance.
+
+    ``_BASE_`` paths are resolved relative to the file that declares them.
+    The child's keys recursively override the base's. Self- or cyclic
+    inheritance raises instead of recursing forever (the reference ships a
+    config that inherits from itself — baseline_unet_gamma.yaml:1).
+    """
+    return _load_yaml_with_base(Path(filename), seen=set())
+
+
+def _load_yaml_with_base(filename: Path, seen: set) -> CfgNode:
+    filename = filename.resolve()
+    if filename in seen:
+        raise ValueError(f"Cyclic _BASE_ inheritance involving {filename}")
+    seen = seen | {filename}
+    with open(filename) as f:
+        raw = yaml.safe_load(f) or {}
+    if not isinstance(raw, dict):
+        raise ValueError(f"Config file {filename} must contain a mapping")
+    cfg = CfgNode(raw)
+    base_ref = cfg.pop(BASE_KEY, None)
+    if base_ref is None:
+        return cfg
+    base_path = Path(base_ref)
+    if not base_path.is_absolute():
+        base_path = filename.parent / base_path
+    base_cfg = _load_yaml_with_base(base_path, seen)
+    _merge_into(base_cfg, cfg)
+    return base_cfg
+
+
+# ---------------------------------------------------------------------------
+# Experiment-manager entry points (reference: experiment_manager.py:38-90)
+# ---------------------------------------------------------------------------
+
+def new_config() -> CfgNode:
+    """Create an empty config with the reference's top-level namespaces
+    (experiment_manager.py:44-56). Note the reference declares AUGMENTATIONS/
+    DATASETS (plural) while YAML/configs use AUGMENTATION/DATASET (singular);
+    both are accepted since new keys are always allowed."""
+    c = CfgNode()
+    c.CONFIG_DIR = "config/"
+    c.PATHS = CfgNode()
+    c.TRAINER = CfgNode()
+    c.MODEL = CfgNode()
+    c.DATALOADER = CfgNode()
+    c.AUGMENTATIONS = CfgNode()
+    c.CONSISTENCY_TRAINER = CfgNode()
+    c.DATASETS = CfgNode()
+    return c.clone()
+
+
+def config_file_path(config_name: str) -> Path:
+    """Locate ``configs/{name}.yaml`` relative to cwd, falling back to the
+    repo root (directory containing this package). The reference hardcodes
+    the cwd-relative path (experiment_manager.py:61)."""
+    candidate = Path.cwd() / "configs" / f"{config_name}.yaml"
+    if candidate.exists():
+        return candidate
+    fallback = Path(__file__).resolve().parent.parent / "configs" / f"{config_name}.yaml"
+    if fallback.exists():
+        return fallback
+    return candidate  # let open() raise with the cwd-relative path
+
+
+def setup_cfg(args) -> CfgNode:
+    """CLI entry: merge config file, then trailing ``opts`` overrides, then
+    set NAME and PATHS (reference: experiment_manager.py:59-69)."""
+    cfg = new_config()
+    cfg.merge_from_file(config_file_path(args.config_file))
+    cfg.merge_from_list(args.opts)
+    cfg.NAME = args.config_file
+    cfg.PATHS.ROOT = str(Path.cwd())
+    assert Path(args.output_dir).exists(), f"output dir missing: {args.output_dir}"
+    cfg.PATHS.OUTPUT = args.output_dir
+    assert Path(args.dataset_dir).exists(), f"dataset dir missing: {args.dataset_dir}"
+    cfg.PATHS.DATASET = args.dataset_dir
+    return cfg
+
+
+def setup_cfg_manual(config_name: str, output_dir: Path, dataset_dir: Path) -> CfgNode:
+    """Programmatic variant (reference: experiment_manager.py:72-81)."""
+    cfg = new_config()
+    cfg.merge_from_file(config_file_path(config_name))
+    cfg.NAME = config_name
+    cfg.PATHS.ROOT = str(Path.cwd())
+    assert Path(output_dir).exists()
+    cfg.PATHS.OUTPUT = str(output_dir)
+    assert Path(dataset_dir).exists()
+    cfg.PATHS.DATASET = str(dataset_dir)
+    return cfg
+
+
+def load_cfg(config_name: str) -> CfgNode:
+    """Load by name without path setup (reference: experiment_manager.py:85-90)."""
+    cfg = new_config()
+    cfg.merge_from_file(config_file_path(config_name))
+    cfg.NAME = config_name
+    return cfg

@@ -1,0 +1,45 @@
+"""Test harness setup.
+
+Forces JAX onto the CPU backend with 8 virtual devices BEFORE jax is
+imported anywhere, so sharding/mesh tests run without TPU hardware
+(the standard JAX trick for testing multi-chip code paths).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def repo_root() -> Path:
+    return REPO_ROOT
+
+
+@pytest.fixture(scope="session")
+def rng() -> np.random.Generator:
+    return np.random.default_rng(7)
+
+
+@pytest.fixture(scope="session")
+def fixture_dataset(tmp_path_factory) -> Path:
+    """Tiny synthetic SpaceNet7-layout dataset tree shared across tests."""
+    from multimodal_siamese_cd_tpu.data.synthetic import generate_fixture_dataset
+
+    root = tmp_path_factory.mktemp("sn7_fixture")
+    generate_fixture_dataset(root, seed=7)
+    return root

@@ -1,0 +1,160 @@
+"""Config system tests: _BASE_ inheritance, CLI overrides, parity of every
+shipped config with the reference experiment definitions."""
+
+from pathlib import Path
+
+import pytest
+
+from multimodal_siamese_cd_tpu import config as cfg_mod
+from multimodal_siamese_cd_tpu.config import CfgNode, load_cfg, new_config
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "configs"
+
+
+def _load(name: str) -> CfgNode:
+    c = new_config()
+    c.merge_from_file(CONFIG_DIR / f"{name}.yaml")
+    return c
+
+
+def test_attribute_access_and_nesting():
+    c = CfgNode({"A": {"B": 1}, "C": [1, 2]})
+    assert c.A.B == 1
+    assert c.C == [1, 2]
+    c.A.D = "x"
+    assert c["A"]["D"] == "x"
+    with pytest.raises(AttributeError):
+        _ = c.MISSING
+
+
+def test_base_inheritance_child_wins():
+    c = _load("debug")
+    assert c.DEBUG is True            # child override
+    assert c.TRAINER.LR == 1e-4       # inherited
+    assert c.MODEL.TOPOLOGY == [64, 128, 256, 512]
+    assert len(c.DATASET.TRAINING_IDS) == 39   # two-level _BASE_ chain via splits.yaml
+
+
+def test_cyclic_base_raises(tmp_path):
+    f = tmp_path / "self.yaml"
+    f.write_text('_BASE_: "self.yaml"\nX: 1\n')
+    with pytest.raises(ValueError, match="Cyclic"):
+        cfg_mod.load_yaml_with_base(f)
+
+
+def test_merge_from_list_types():
+    c = _load("base")
+    c.merge_from_list([
+        "TRAINER.LR", "5e-3",
+        "TRAINER.BATCH_SIZE", "16",
+        "MODEL.TYPE", "siameseunet",
+        "DEBUG", "True",
+        "MODEL.TOPOLOGY", "[8, 16]",
+        "NEW.NESTED.KEY", "hello",
+    ])
+    assert c.TRAINER.LR == 5e-3
+    assert c.TRAINER.BATCH_SIZE == 16
+    assert c.MODEL.TYPE == "siameseunet"
+    assert c.DEBUG is True
+    assert c.MODEL.TOPOLOGY == [8, 16]
+    assert c.NEW.NESTED.KEY == "hello"   # new keys always allowed
+
+
+def test_every_config_loads():
+    names = sorted(p.stem for p in CONFIG_DIR.glob("*.yaml") if p.stem != "splits")
+    assert len(names) >= 29
+    for name in names:
+        c = _load(name)
+        assert c.SEED == 7
+        assert c.MODEL.OUT_CHANNELS == 1
+
+
+# Expected values transcribed from the reference experiment definitions.
+EXPECTED = {
+    "base": dict(type="unet", bs=8, alpha=0.1, debug=False, gamma=False),
+    "debug": dict(type="unet", bs=8, alpha=0.1, debug=True, gamma=False),
+    "unet": dict(type="unet", bs=8, alpha=0.1, debug=True, gamma=False),
+    "siamese": dict(type="siameseunet", bs=8, alpha=0.1, debug=False, gamma=False),
+    "baseline_dualstream": dict(type="dualstreamunet", bs=8, alpha=0.1, debug=False, gamma=False),
+    "baseline_dualstream_gamma": dict(type="dualstreamunet", bs=8, alpha=0.1, debug=False, gamma=True),
+    "baseline_unet": dict(type="unet", bs=8, alpha=0.1, debug=True, gamma=False, in_ch=4, input_mode="s2"),
+    "baseline_unet_gamma": dict(type="unet", bs=8, alpha=0.1, debug=False, gamma=True, in_ch=4, input_mode="s2"),
+    "baseline_siamese": dict(type="siameseunet", bs=8, alpha=0.1, debug=True, gamma=False, in_ch=4, input_mode="s2"),
+    "baseline_siamese_gamma": dict(type="siameseunet", bs=8, alpha=0.1, debug=False, gamma=True, in_ch=4, input_mode="s2"),
+    "dtsiamese": dict(type="dtsiameseunet", bs=8, alpha=0.1, debug=False, gamma=False, bld=True),
+    "dtsiamese_ssl": dict(type="dtsiameseunet", bs=8, alpha=0.1, debug=False, gamma=False, bld=True, unl=True, unl_val=True),
+    "dtsiamese_ssl_test": dict(type="dtsiameseunet", bs=8, alpha=0.1, debug=False, gamma=False, bld=True, unl=True),
+    "siamese_mmcr_base": dict(type="whatevernet", bs=4, alpha=0.0, debug=False, gamma=False, unl=True),
+    "siamese_mmcr_alpha0100": dict(type="whatevernet", bs=4, alpha=0.1, debug=False, gamma=False, unl=True),
+    "siamese_mmcr_alpha0100_gamma": dict(type="whatevernet", bs=4, alpha=0.1, debug=False, gamma=True, unl=True),
+    "siamese_mmcr_alpha0500": dict(type="whatevernet", bs=4, alpha=0.5, debug=False, gamma=False, unl=True),
+    "siamese_mmcr_alpha0500_gamma": dict(type="whatevernet", bs=4, alpha=0.5, debug=False, gamma=True, unl=True),
+    "siamese_mmcr_alpha0500_16batch": dict(type="whatevernet", bs=16, alpha=0.5, debug=False, gamma=False, unl=True),
+    "siamese_mmcr_alpha0900": dict(type="whatevernet", bs=4, alpha=0.9, debug=False, gamma=False, unl=True),
+    "siamese_mmcr_alpha0900_gamma": dict(type="whatevernet", bs=4, alpha=0.9, debug=False, gamma=True, unl=True),
+    "siamese_mmcr_alpha0990": dict(type="whatevernet", bs=4, alpha=0.99, debug=False, gamma=False, unl=True),
+    "siamese_mmcr_alpha0990_gamma": dict(type="whatevernet", bs=4, alpha=0.99, debug=False, gamma=True, unl=True),
+    "unet_mmcr_base": dict(type="whatevernet2", bs=8, alpha=0.0, debug=False, gamma=False, unl=True),
+    "unet_mmcr_alpha0500": dict(type="whatevernet2", bs=8, alpha=0.5, debug=False, gamma=False, unl=True),
+    "unet_mmcr_alpha0900": dict(type="whatevernet2", bs=8, alpha=0.9, debug=False, gamma=False, unl=True),
+    "unet_mmcr_alpha0990": dict(type="whatevernet2", bs=8, alpha=0.99, debug=False, gamma=False, unl=True),
+    "unet_mmrc_alpha0100": dict(type="whatevernet2", bs=8, alpha=0.1, debug=False, gamma=False, unl=True),
+    "whatevernet_debug": dict(type="whatevernet", bs=2, alpha=0.9, debug=True, gamma=False, unl=True, topo=[64, 128]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED))
+def test_config_parity(name):
+    e = EXPECTED[name]
+    c = _load(name)
+    assert c.MODEL.TYPE == e["type"]
+    assert c.TRAINER.BATCH_SIZE == e["bs"]
+    assert c.CONSISTENCY_TRAINER.LOSS_FACTOR == pytest.approx(e["alpha"])
+    assert c.DEBUG is e["debug"]
+    assert c.AUGMENTATION.GAMMA_CORRECTION is e["gamma"]
+    assert c.MODEL.IN_CHANNELS == e.get("in_ch", 3)
+    assert c.DATALOADER.INPUT_MODE == e.get("input_mode", "s1s2")
+    assert c.DATALOADER.INCLUDE_BUILDING_LABELS is e.get("bld", False)
+    assert c.DATALOADER.INCLUDE_UNLABELED is e.get("unl", False)
+    assert c.DATALOADER.INCLUDE_UNLABELED_VALIDATION is e.get("unl_val", False)
+    assert c.MODEL.TOPOLOGY == e.get("topo", [64, 128, 256, 512])
+    # invariants across all configs
+    assert c.DATALOADER.S1_BANDS == [0, 1]
+    assert c.DATALOADER.S2_BANDS == [2, 1, 0, 3]
+    assert c.AUGMENTATION.CROP_SIZE == 256
+    assert c.MODEL.LOSS_TYPE == "PowerJaccardLoss"
+
+
+def test_setup_cfg_cli(tmp_path, monkeypatch):
+    from multimodal_siamese_cd_tpu.parsers import training_argument_parser
+
+    out = tmp_path / "out"
+    data = tmp_path / "data"
+    out.mkdir()
+    data.mkdir()
+    monkeypatch.chdir(Path(__file__).resolve().parent.parent)
+    args = training_argument_parser().parse_known_args([
+        "-c", "debug", "-p", "proj", "-o", str(out), "-d", str(data),
+        "TRAINER.LR", "0.01",
+    ])[0]
+    c = cfg_mod.setup_cfg(args)
+    assert c.NAME == "debug"
+    assert c.PATHS.OUTPUT == str(out)
+    assert c.PATHS.DATASET == str(data)
+    assert c.TRAINER.LR == 0.01
+
+
+def test_load_cfg_by_name(monkeypatch):
+    monkeypatch.chdir(Path(__file__).resolve().parent.parent)
+    c = load_cfg("siamese")
+    assert c.NAME == "siamese"
+    assert c.MODEL.TYPE == "siameseunet"
+
+
+def test_pickle_roundtrip():
+    import pickle
+
+    c = _load("base")
+    c2 = pickle.loads(pickle.dumps(c))
+    assert c2.TRAINER.LR == c.TRAINER.LR
+    assert isinstance(c2.MODEL, CfgNode)
