@@ -1,0 +1,264 @@
+"""GeoTIFF codec + geofiles API tests: write/read roundtrips across dtypes
+and compressions, LZW/PackBits/predictor decode, georeferencing, mosaicking."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from multimodal_siamese_cd_tpu import geofiles, geotiff
+from multimodal_siamese_cd_tpu.geotiff import CRS, Affine
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.int16, np.int32,
+                                   np.float32, np.float64])
+@pytest.mark.parametrize("compression", ["none", "deflate"])
+def test_roundtrip_dtypes(tmp_path, dtype, compression):
+    rng = np.random.default_rng(0)
+    if np.issubdtype(dtype, np.floating):
+        arr = rng.standard_normal((37, 23, 3)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        arr = rng.integers(info.min, info.max, size=(37, 23, 3)).astype(dtype)
+    f = tmp_path / "x.tif"
+    geotiff.imwrite(f, arr, compression=compression)
+    back, meta = geotiff.imread(f)
+    np.testing.assert_array_equal(back, arr)
+    assert meta["transform"] is None
+
+
+def test_roundtrip_2d_and_bool(tmp_path):
+    arr = (np.arange(64).reshape(8, 8) % 2).astype(bool)
+    f = tmp_path / "b.tif"
+    geotiff.imwrite(f, arr)
+    back, _ = geotiff.imread(f)
+    assert back.shape == (8, 8, 1)
+    np.testing.assert_array_equal(back[:, :, 0], arr.astype(np.uint8))
+
+
+def test_multi_strip_roundtrip(tmp_path):
+    arr = np.arange(100 * 7 * 2, dtype=np.uint16).reshape(100, 7, 2)
+    f = tmp_path / "s.tif"
+    geotiff.imwrite(f, arr, rows_per_strip=9)
+    back, _ = geotiff.imread(f)
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_georeferencing_roundtrip(tmp_path):
+    arr = np.zeros((5, 5), dtype=np.float32)
+    t = Affine.from_origin(-122.5, 37.8, 0.001, 0.001)
+    f = tmp_path / "geo.tif"
+    geotiff.imwrite(f, arr, transform=t, crs="EPSG:4326")
+    _, meta = geotiff.imread(f)
+    assert meta["crs"] == CRS(4326)
+    got = meta["transform"]
+    assert tuple(got) == pytest.approx(tuple(t))
+    # projected CRS path
+    geotiff.imwrite(f, arr, transform=t, crs=32633)
+    _, meta = geotiff.imread(f)
+    assert meta["crs"] == CRS(32633)
+
+
+def test_affine_unpacking_order():
+    t = Affine(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+    _, _, c, _, _, f, *_ = t
+    assert (c, f) == (3.0, 6.0)  # upload_study_area.py:11 unpack pattern
+    assert t * (0, 0) == (3.0, 6.0)
+
+
+def test_big_endian_read(tmp_path):
+    """Hand-assemble a minimal big-endian striped TIFF and read it."""
+    h, w = 3, 4
+    arr = np.arange(h * w, dtype=">u2").reshape(h, w)
+    data = arr.tobytes()
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 16), (259, 3, 1, 1),
+        (262, 3, 1, 1), (277, 3, 1, 1), (278, 3, 1, h), (339, 3, 1, 1),
+    ]
+    data_offset = 8 + 2 + 12 * (len(entries) + 2) + 4
+    entries += [(273, 4, 1, data_offset), (279, 4, 1, len(data))]
+    entries.sort()
+    buf = b"MM" + struct.pack(">HI", 42, 8) + struct.pack(">H", len(entries))
+    for tag, typ, count, value in entries:
+        fmt = ">HHI" + ("HH" if typ == 3 else "I")
+        vals = (tag, typ, count) + ((value, 0) if typ == 3 else (value,))
+        buf += struct.pack(fmt, *vals)
+    buf += struct.pack(">I", 0) + data
+    f = tmp_path / "be.tif"
+    f.write_bytes(buf)
+    back, _ = geotiff.imread(f)
+    np.testing.assert_array_equal(back[:, :, 0], arr.astype(np.uint16))
+
+
+def _write_with_compression(tmp_path, payload_rows, comp_code, compressed):
+    """Minimal little-endian single-strip uint8 TIFF with given compression."""
+    h, w = len(payload_rows), len(payload_rows[0])
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8), (259, 3, 1, comp_code),
+        (262, 3, 1, 1), (277, 3, 1, 1), (278, 3, 1, h), (317, 3, 1, 1),
+    ]
+    data_offset = 8 + 2 + 12 * (len(entries) + 2) + 4
+    entries += [(273, 4, 1, data_offset), (279, 4, 1, len(compressed))]
+    entries.sort()
+    buf = b"II" + struct.pack("<HI", 42, 8) + struct.pack("<H", len(entries))
+    for tag, typ, count, value in entries:
+        fmt = "<HHI" + ("HH" if typ == 3 else "I")
+        vals = (tag, typ, count) + ((value, 0) if typ == 3 else (value,))
+        buf += struct.pack(fmt, *vals)
+    buf += struct.pack("<I", 0) + compressed
+    f = tmp_path / "c.tif"
+    f.write_bytes(buf)
+    return f
+
+
+def test_packbits_read(tmp_path):
+    rows = [[5] * 10 + [1, 2, 3]]
+    raw = bytes(rows[0])
+    # PackBits: run of 10 fives, then 3 literals
+    compressed = bytes([257 - 10, 5, 2, 1, 2, 3])
+    f = _write_with_compression(tmp_path, rows, 32773, compressed)
+    back, _ = geotiff.imread(f)
+    np.testing.assert_array_equal(back[0, :, 0], np.frombuffer(raw, np.uint8))
+
+
+def _lzw_encode_reference(data: bytes) -> bytes:
+    """Tiny TIFF-LZW encoder (test-only) to exercise the decoder."""
+    CLEAR, EOI = 256, 257
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    nbits = 9
+    out_bits = []
+
+    def emit(code, n):
+        out_bits.extend(((code >> (n - 1 - k)) & 1) for k in range(n))
+
+    emit(CLEAR, nbits)
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w = w + c
+        else:
+            emit(table[w], nbits)
+            table[w + c] = next_code
+            next_code += 1
+            if next_code == (1 << nbits) - 1 and nbits < 12:
+                nbits += 1
+            w = c
+    if w:
+        emit(table[w], nbits)
+    emit(EOI, nbits)
+    while len(out_bits) % 8:
+        out_bits.append(0)
+    return bytes(
+        int("".join(map(str, out_bits[i:i + 8])), 2) for i in range(0, len(out_bits), 8)
+    )
+
+
+def test_lzw_read(tmp_path):
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 8, size=200, dtype=np.uint8).tobytes()
+    compressed = _lzw_encode_reference(raw)
+    f = _write_with_compression(tmp_path, [list(raw)], 5, compressed)
+    back, _ = geotiff.imread(f)
+    np.testing.assert_array_equal(back[0, :, 0], np.frombuffer(raw, np.uint8))
+
+
+def test_predictor2_deflate_read(tmp_path):
+    vals = np.array([10, 12, 11, 11, 15], dtype=np.uint8)
+    diffs = np.diff(vals, prepend=vals[:1].astype(np.int16)).astype(np.uint8)
+    diffs[0] = vals[0]
+    compressed = zlib.compress(diffs.tobytes())
+    entries_file = _write_with_compression(tmp_path, [list(vals)], 8, compressed)
+    # patch predictor tag from 1 -> 2
+    raw = bytearray(entries_file.read_bytes())
+    idx = raw.find(struct.pack("<HHI", 317, 3, 1))
+    raw[idx + 8:idx + 10] = struct.pack("<H", 2)
+    entries_file.write_bytes(bytes(raw))
+    back, _ = geotiff.imread(entries_file)
+    np.testing.assert_array_equal(back[0, :, 0], vals)
+
+
+def test_not_a_tiff(tmp_path):
+    f = tmp_path / "nope.tif"
+    f.write_bytes(b"PNG whatever")
+    with pytest.raises(ValueError, match="byte order"):
+        geotiff.imread(f)
+
+
+# --- geofiles API ------------------------------------------------------------
+
+def test_read_tif_missing_file(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        geofiles.read_tif(tmp_path / "missing.tif")
+
+
+def test_read_write_tif_roundtrip(tmp_path):
+    arr = np.random.default_rng(1).uniform(size=(16, 16, 3)).astype(np.float32)
+    t = Affine.from_origin(10, 50, 0.01, 0.01)
+    f = tmp_path / "sub" / "x.tif"
+    geofiles.write_tif(f, arr, t, "EPSG:4326")
+    back, transform, crs = geofiles.read_tif(f)
+    np.testing.assert_array_equal(back, arr)
+    assert str(crs) == "EPSG:4326"
+    assert tuple(transform) == pytest.approx(tuple(t))
+
+
+def test_patch_helpers():
+    from pathlib import Path
+
+    f = Path("pred_aoi_0000000512-0000000256.tif")
+    assert geofiles.get_coords(f) == [512, 256]
+    assert geofiles.basename_from_file(f) == "pred_aoi"
+    assert geofiles.id2yx("512-256") == (512, 256)
+
+
+def test_combine_tif_patches(tmp_path):
+    t = Affine.from_origin(0, 0, 1, 1)
+    full = np.arange(8 * 8, dtype=np.int8).reshape(8, 8, 1)
+    for i in (0, 4):
+        for j in (0, 4):
+            geofiles.write_tif(tmp_path / f"mosaic_{i:010d}-{j:010d}.tif",
+                               full[i:i + 4, j:j + 4], t, "EPSG:4326")
+    geofiles.combine_tif_patches(tmp_path, "mosaic")
+    back, _, _ = geofiles.read_tif(tmp_path / "mosaic.tif")
+    np.testing.assert_array_equal(back, full)
+
+
+def test_json_roundtrip(tmp_path):
+    data = {"a": [1, 2], "b": {"c": "x"}}
+    f = tmp_path / "m.json"
+    geofiles.write_json(f, data)
+    assert geofiles.load_json(f) == data
+
+
+# --- synthetic fixture --------------------------------------------------------
+
+def test_fixture_dataset(fixture_dataset):
+    from multimodal_siamese_cd_tpu.data import synthetic
+
+    meta = geofiles.load_json(fixture_dataset / "metadata.json")
+    assert set(meta) == set(synthetic.TRAIN_AOIS + synthetic.VAL_AOIS +
+                            synthetic.TEST_AOIS + synthetic.UNLABELED_AOIS)
+    aoi = synthetic.TRAIN_AOIS[0]
+    ts0 = meta[aoi][0]
+    s1, transform, crs = geofiles.read_tif(
+        fixture_dataset / aoi / "s1" / f"s1_{aoi}_{ts0['year']}_{ts0['month']:02d}.tif")
+    assert s1.shape[2] == synthetic.N_S1_BANDS
+    assert np.isnan(s1).any()  # NaN payload for nan_to_num coverage
+    bld, _, _ = geofiles.read_tif(
+        fixture_dataset / aoi / "buildings" /
+        f"buildings_{aoi}_{ts0['year']}_{ts0['month']:02d}.tif")
+    assert set(np.unique(bld)) <= {0, 1}
+    # unlabeled AOIs have no buildings dir
+    unl = synthetic.UNLABELED_AOIS[0]
+    assert not (fixture_dataset / unl / "buildings").exists()
+    assert meta[unl][0]["buildings"] is False
+    # change exists between first and last timestamp
+    last = meta[aoi][-1]
+    bld2, _, _ = geofiles.read_tif(
+        fixture_dataset / aoi / "buildings" /
+        f"buildings_{aoi}_{last['year']}_{last['month']:02d}.tif")
+    change = np.logical_and(bld == 0, bld2 == 1)
+    assert change.sum() > 0
