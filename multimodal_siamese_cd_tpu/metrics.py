@@ -1,0 +1,178 @@
+"""Evaluation metrics.
+
+Port surface from the reference (utils/metrics.py):
+
+  * :class:`MultiThresholdMetric` — confusion counts accumulated over
+    samples at T thresholds (metrics.py:5-66). Implemented as a functional
+    accumulator over jnp arrays so it can live inside jitted eval steps,
+    with an optional validity mask for padded scenes (XLA needs static
+    shapes, so variable-size eval scenes are padded and masked instead).
+    The reference's FP/FN formulas are swapped (metrics.py:30-31 counts
+    ``y_true & ~pred`` as FP); this implementation uses the correct
+    definitions, so F1 matches the reference exactly while precision and
+    recall are swapped relative to its (mislabeled) logs.
+  * functional threshold metrics in jnp (metrics.py:69-113),
+  * numpy probability metrics used by offline assessment
+    (metrics.py:116-150), including the reference's ``precsision_from_prob``
+    spelling, kept as an alias.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+CLAMP = 10e-05  # reference denominator clamp (metrics.py:39,49,65)
+
+
+class MultiThresholdMetric:
+    """Accumulates TP/TN/FP/FN per threshold across added samples.
+
+    Thresholding replicates the reference's round-offset formulation
+    ``round(y_pred - threshold + 0.5)`` (metrics.py:26) including its
+    banker's-rounding edge behaviour at exact threshold equality.
+    """
+
+    def __init__(self, thresholds):
+        self._thresholds = jnp.asarray(thresholds, jnp.float32).reshape(-1)
+        n = self._thresholds.shape[0]
+        self.TP = jnp.zeros((n,), jnp.float32)
+        self.TN = jnp.zeros((n,), jnp.float32)
+        self.FP = jnp.zeros((n,), jnp.float32)
+        self.FN = jnp.zeros((n,), jnp.float32)
+
+    @property
+    def thresholds(self):
+        return self._thresholds
+
+    def add_sample(self, y_true, y_pred, valid_mask=None) -> None:
+        tp, tn, fp, fn = confusion_at_thresholds(
+            y_true, y_pred, self._thresholds, valid_mask)
+        self.TP = self.TP + tp
+        self.TN = self.TN + tn
+        self.FP = self.FP + fp
+        self.FN = self.FN + fn
+
+    @property
+    def precision(self):
+        return self.TP / jnp.clip(self.TP + self.FP, CLAMP, None)
+
+    @property
+    def recall(self):
+        return self.TP / jnp.clip(self.TP + self.FN, CLAMP, None)
+
+    def compute_basic_metrics(self):
+        """False positive rate and false negative rate (metrics.py:53-62)."""
+        false_pos_rate = self.FP / (self.FP + self.TN)
+        false_neg_rate = self.FN / (self.FN + self.TP)
+        return false_pos_rate, false_neg_rate
+
+    def compute_f1(self):
+        p, r = self.precision, self.recall
+        return 2 * p * r / jnp.clip(p + r, CLAMP, None)
+
+
+def confusion_at_thresholds(y_true, y_pred, thresholds, valid_mask=None):
+    """Pure function computing (TP, TN, FP, FN) summed over all elements of
+    one sample, per threshold. Jit/vmap friendly; used by the fused eval path.
+    """
+    t = jnp.asarray(y_true).reshape(-1)[None, :] > 0.5
+    p = jnp.asarray(y_pred).reshape(-1)[None, :]
+    thr = jnp.asarray(thresholds, jnp.float32).reshape(-1, 1)
+    pred = jnp.round(p - thr + 0.5) >= 1.0
+    if valid_mask is None:
+        valid = jnp.ones(t.shape[1:], jnp.float32)[None, :]
+    else:
+        valid = jnp.asarray(valid_mask, jnp.float32).reshape(-1)[None, :]
+    tp = jnp.sum((t & pred) * valid, axis=1)
+    tn = jnp.sum((~t & ~pred) * valid, axis=1)
+    fp = jnp.sum((~t & pred) * valid, axis=1)
+    fn = jnp.sum((t & ~pred) * valid, axis=1)
+    return tp, tn, fp, fn
+
+
+# --- functional rounded-probability metrics (reference metrics.py:69-113) ----
+
+def true_pos(y_true, y_pred, dim=0):
+    return jnp.sum(y_true * jnp.round(y_pred), axis=dim)
+
+
+def false_pos(y_true, y_pred, dim=0):
+    return jnp.sum((1.0 - y_true) * jnp.round(y_pred), axis=dim)
+
+
+def false_neg(y_true, y_pred, dim=0):
+    return jnp.sum(y_true * (1.0 - jnp.round(y_pred)), axis=dim)
+
+
+def precision(y_true, y_pred, dim):
+    tp = true_pos(y_true, y_pred, dim)
+    fp = false_pos(y_true, y_pred, dim)
+    return tp / jnp.clip(tp + fp, CLAMP, None)
+
+
+def recall(y_true, y_pred, dim):
+    tp = true_pos(y_true, y_pred, dim)
+    fn = false_neg(y_true, y_pred, dim)
+    return tp / jnp.clip(tp + fn, CLAMP, None)
+
+
+def f1_score(gts, preds, multi_threshold_mode: bool = False, dim=(-1, -2)):
+    gts = jnp.asarray(gts, jnp.float32)
+    preds = jnp.asarray(preds, jnp.float32)
+    if multi_threshold_mode:
+        gts = jnp.broadcast_to(gts[:, None, ...], preds.shape)
+    r = recall(gts, preds, dim)
+    p = precision(gts, preds, dim)
+    return 2.0 * r * p / jnp.clip(r + p, CLAMP, None)
+
+
+# --- numpy probability metrics for offline assessment ------------------------
+# (reference metrics.py:116-150)
+
+def true_positives_from_prob(y_prob: np.ndarray, y_true: np.ndarray,
+                             threshold: float = 0.5):
+    y_pred = y_prob > threshold
+    return np.sum(np.logical_and(y_pred, y_true))
+
+
+def false_positives_from_prob(y_prob: np.ndarray, y_true: np.ndarray,
+                              threshold: float = 0.5):
+    y_pred = y_prob > threshold
+    return np.sum(np.logical_and(y_pred, np.logical_not(y_true)))
+
+
+def false_negatives_from_prob(y_prob: np.ndarray, y_true: np.ndarray,
+                              threshold: float = 0.5):
+    y_pred = y_prob > threshold
+    return np.sum(np.logical_and(np.logical_not(y_pred), y_true))
+
+
+def precision_from_prob(y_prob: np.ndarray, y_true: np.ndarray,
+                        threshold: float = 0.5):
+    tp = true_positives_from_prob(y_prob, y_true, threshold)
+    fp = false_positives_from_prob(y_prob, y_true, threshold)
+    return tp / (tp + fp)
+
+
+# The reference spells it 'precsision_from_prob' (metrics.py:137); keep the
+# alias so code written against the reference API works.
+precsision_from_prob = precision_from_prob
+
+
+def recall_from_prob(y_prob: np.ndarray, y_true: np.ndarray,
+                     threshold: float = 0.5):
+    tp = true_positives_from_prob(y_prob, y_true, threshold)
+    fn = false_negatives_from_prob(y_prob, y_true, threshold)
+    return tp / (tp + fn)
+
+
+def f1_score_from_prob(y_prob: np.ndarray, y_true: np.ndarray,
+                       threshold: float = 0.5):
+    p = precision_from_prob(y_prob, y_true, threshold)
+    r = recall_from_prob(y_prob, y_true, threshold)
+    return 2 * (p * r) / (p + r)
+
+
+def root_mean_square_error(y_pred: np.ndarray, y_true: np.ndarray):
+    return np.sqrt(np.sum(np.square(y_pred - y_true)) / np.size(y_true))
