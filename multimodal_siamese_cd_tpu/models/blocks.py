@@ -1,0 +1,168 @@
+"""U-Net building blocks (flax linen, NHWC).
+
+Architectural contract follows the reference blocks (utils/networks.py:
+DoubleConv :386-402, InConv :405-412, Down :415-426, Up :429-451, OutConv
+:454-461, Encoder :313-343, Decoder :346-382) re-expressed TPU-first:
+
+  * NHWC layout (channels-last) — the native XLA/TPU conv layout,
+  * configurable compute dtype (bf16 by default at the model level) with
+    fp32 parameters; BatchNorm statistics are computed in fp32 by flax,
+  * BatchNorm defaults matching torch (eps 1e-5, running-average momentum
+    0.9 == torch momentum 0.1), with an optional ``axis_name`` for
+    cross-replica stat sync under shard_map.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class DoubleConv(nn.Module):
+    """(3x3 conv -> BN -> ReLU) * 2 (reference networks.py:386-402)."""
+
+    out_ch: int
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        for i in range(2):
+            x = nn.Conv(self.out_ch, (3, 3), padding=1, use_bias=True,
+                        dtype=self.dtype, name=f"conv{i + 1}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             axis_name=self.bn_axis_name if train else None,
+                             name=f"bn{i + 1}")(x)
+            x = nn.relu(x)
+        return x
+
+
+class InConv(nn.Module):
+    """Stem block (reference networks.py:405-412)."""
+
+    out_ch: int
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        return DoubleConv(self.out_ch, self.dtype, self.bn_axis_name,
+                          name="conv")(x, train)
+
+
+def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/2 max pool. Odd trailing rows/cols are dropped, matching torch
+    MaxPool2d(2) floor semantics (reference networks.py:420)."""
+    h, w = x.shape[1] - x.shape[1] % 2, x.shape[2] - x.shape[2] % 2
+    x = x[:, :h, :w]
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+class Down(nn.Module):
+    """maxpool(2) + DoubleConv (reference networks.py:415-426)."""
+
+    out_ch: int
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        return DoubleConv(self.out_ch, self.dtype, self.bn_axis_name,
+                          name="conv")(max_pool_2x2(x), train)
+
+
+class Up(nn.Module):
+    """ConvTranspose(k=2, s=2) upsample + pad-to-skip + concat + DoubleConv
+    (reference networks.py:429-451). ``up_ch`` is the transposed-conv width
+    (in_ch//2 in the reference's Up(in_ch, out_ch))."""
+
+    up_ch: int
+    out_ch: int
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, train: bool) -> jnp.ndarray:
+        x1 = nn.ConvTranspose(self.up_ch, (2, 2), strides=(2, 2),
+                              padding="VALID", use_bias=True,
+                              dtype=self.dtype, name="up")(x1)
+        # Pad the upsampled map to the skip's spatial size (NHWC axes 1, 2).
+        dh = x2.shape[1] - x1.shape[1]
+        dw = x2.shape[2] - x1.shape[2]
+        if dh or dw:
+            x1 = jnp.pad(x1, ((0, 0), (dh // 2, dh - dh // 2),
+                              (dw // 2, dw - dw // 2), (0, 0)))
+        x = jnp.concatenate([x2, x1], axis=-1)  # skip first (networks.py:449)
+        return DoubleConv(self.out_ch, self.dtype, self.bn_axis_name,
+                          name="conv")(x, train)
+
+
+class OutConv(nn.Module):
+    """1x1 projection head (reference networks.py:454-461). Logits are
+    emitted in fp32 regardless of the compute dtype."""
+
+    out_ch: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(self.out_ch, (1, 1), use_bias=True, dtype=self.dtype,
+                    name="conv")(x)
+        return x.astype(jnp.float32)
+
+
+def encoder_widths(topology: Sequence[int]) -> list[int]:
+    """Output width of each Down stage. The last stage keeps its input width
+    (reference networks.py:326-329)."""
+    n = len(topology)
+    return [topology[i + 1] if i != n - 1 else topology[i] for i in range(n)]
+
+
+class Encoder(nn.Module):
+    """Down-ladder over TOPOLOGY; returns features deepest-first
+    (reference networks.py:313-343)."""
+
+    topology: Sequence[int]
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x1: jnp.ndarray, train: bool) -> list[jnp.ndarray]:
+        feats = [x1]
+        for idx, out_ch in enumerate(encoder_widths(self.topology)):
+            feats.append(Down(out_ch, self.dtype, self.bn_axis_name,
+                              name=f"down{idx + 1}")(feats[-1], train))
+        return feats[::-1]
+
+
+def decoder_up_topology(topology: Sequence[int]) -> list[int]:
+    """The reference's ``up_topo`` (networks.py:355-361): stage widths from
+    shallow to deep, with the extra stem width prepended."""
+    return [topology[0]] + encoder_widths(topology)
+
+
+class Decoder(nn.Module):
+    """Up-ladder consuming a deepest-first feature list
+    (reference networks.py:346-382)."""
+
+    topology: Sequence[int]
+    dtype: Dtype = jnp.bfloat16
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, features: list[jnp.ndarray], train: bool) -> jnp.ndarray:
+        up_topo = decoder_up_topology(self.topology)
+        n_layers = len(self.topology)
+        x1 = features[0]
+        for i, idx in enumerate(reversed(range(n_layers))):
+            x2_idx = idx - 1 if idx != 0 else idx
+            in_dim = up_topo[idx] * 2
+            out_dim = up_topo[x2_idx]
+            x1 = Up(in_dim // 2, out_dim, self.dtype, self.bn_axis_name,
+                    name=f"up{idx + 1}")(x1, features[i + 1], train)
+        return x1
