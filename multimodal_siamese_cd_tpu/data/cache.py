@@ -1,0 +1,134 @@
+"""Packed scene cache.
+
+The reference decodes GeoTIFFs with rasterio on every ``__getitem__`` and —
+with ``TRAINING_MULTIPLIER`` 100 — re-decodes each file ~100x per epoch
+(reference datasets.py:100,128-134). Here every (AOI, modality) time series
+is decoded **once** into a packed ``(T, H, W, C)`` array on disk, memmapped
+thereafter; steady-state training reads crops straight out of the page
+cache with zero decode work.
+
+Band subsetting, ``clip(0, 1)`` and ``nan_to_num`` (reference
+datasets.py:30-46) are applied at cache-build time so the hot path is a pure
+slice. Imagery is stored as float16 by default (inputs are reflectances in
+[0, 1]; float16 resolution there is ~5e-4) — configurable via
+``DATALOADER.CACHE_DTYPE``; building labels are uint8.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from .. import geofiles
+
+_CACHE_VERSION = 1
+_locks: dict = {}
+_locks_guard = threading.Lock()
+
+
+def _lock_for(key: str) -> threading.Lock:
+    with _locks_guard:
+        return _locks.setdefault(key, threading.Lock())
+
+
+class SceneCache:
+    """Lazy per-AOI packed arrays for s1 / s2 / buildings."""
+
+    def __init__(self, dataset_root: Path, metadata: dict,
+                 s1_bands, s2_bands, dtype: str = "float16",
+                 cache_dir: Path | None = None, enabled: bool = True):
+        self.root = Path(dataset_root)
+        self.metadata = metadata
+        self.s1_bands = list(s1_bands)
+        self.s2_bands = list(s2_bands)
+        self.dtype = np.dtype(dtype)
+        self.enabled = enabled
+        self.cache_dir = Path(cache_dir) if cache_dir else self.root / ".cache_tpu"
+        self._open: dict[tuple, tuple[np.ndarray, dict]] = {}
+
+    # -- raw decode (identical semantics to reference datasets.py:30-52) ----
+    def _tif_path(self, aoi_id: str, modality: str, year: int, month: int) -> Path:
+        return (self.root / aoi_id / modality /
+                f"{modality}_{aoi_id}_{year}_{month:02d}.tif")
+
+    def _decode(self, aoi_id: str, modality: str, year: int, month: int) -> np.ndarray:
+        img, _, _ = geofiles.read_tif(self._tif_path(aoi_id, modality, year, month))
+        if modality == "s1":
+            img = np.nan_to_num(np.clip(img[:, :, self.s1_bands], 0, 1)).astype(np.float32)
+        elif modality == "s2":
+            img = np.nan_to_num(np.clip(img[:, :, self.s2_bands], 0, 1)).astype(np.float32)
+        else:  # buildings: binarize > 0 (reference datasets.py:42-46)
+            img = np.nan_to_num(img > 0).astype(np.float32)
+        return img
+
+    # -- cache management ------------------------------------------------------
+    def _timestamps(self, aoi_id: str, modality: str) -> list[tuple[int, int]]:
+        key = "buildings" if modality == "buildings" else modality
+        return [(ts["year"], ts["month"]) for ts in self.metadata[aoi_id]
+                if ts.get(key)]
+
+    def _cache_key(self, aoi_id: str, modality: str) -> str:
+        bands = self.s1_bands if modality == "s1" else self.s2_bands
+        ident = json.dumps([_CACHE_VERSION, modality, bands,
+                            self._timestamps(aoi_id, modality), str(self.dtype)])
+        h = hashlib.sha1(ident.encode()).hexdigest()[:10]
+        return f"{aoi_id}_{modality}_{h}"
+
+    def _build(self, aoi_id: str, modality: str, npy: Path, meta_file: Path) -> None:
+        ts = self._timestamps(aoi_id, modality)
+        dtype = np.uint8 if modality == "buildings" else self.dtype
+        first = self._decode(aoi_id, modality, *ts[0])
+        arr = np.empty((len(ts),) + first.shape, dtype=dtype)
+        arr[0] = first
+        for i, (y, m) in enumerate(ts[1:], start=1):
+            arr[i] = self._decode(aoi_id, modality, y, m)
+        tmp = npy.with_suffix(".tmp.npy")
+        np.save(tmp, arr)
+        tmp.rename(npy)
+        meta_file.write_text(json.dumps(
+            {"timestamps": ts, "shape": list(arr.shape), "dtype": str(dtype)}))
+
+    def _load_packed(self, aoi_id: str, modality: str):
+        key = (aoi_id, modality)
+        if key in self._open:
+            return self._open[key]
+        name = self._cache_key(aoi_id, modality)
+        npy = self.cache_dir / f"{name}.npy"
+        meta_file = self.cache_dir / f"{name}.json"
+        if not (npy.exists() and meta_file.exists()):
+            with _lock_for(name):
+                if not (npy.exists() and meta_file.exists()):
+                    self.cache_dir.mkdir(parents=True, exist_ok=True)
+                    self._build(aoi_id, modality, npy, meta_file)
+        arr = np.load(npy, mmap_mode="r")
+        meta = json.loads(meta_file.read_text())
+        index = {tuple(t): i for i, t in enumerate(meta["timestamps"])}
+        self._open[key] = (arr, index)
+        return self._open[key]
+
+    # -- public API --------------------------------------------------------------
+    def load(self, aoi_id: str, modality: str, year: int, month: int) -> np.ndarray:
+        """Scene array (H, W, C) float32 (buildings: (H, W, 1))."""
+        if not self.enabled:
+            img = self._decode(aoi_id, modality, year, month)
+            return img if img.ndim == 3 else img[:, :, None]
+        arr, index = self._load_packed(aoi_id, modality)
+        scene = np.asarray(arr[index[(year, month)]], dtype=np.float32)
+        return scene if scene.ndim == 3 else scene[:, :, None]
+
+    @classmethod
+    def from_cfg(cls, cfg, metadata: dict) -> "SceneCache":
+        dl = cfg.DATALOADER
+        return cls(
+            dataset_root=Path(cfg.PATHS.DATASET),
+            metadata=metadata,
+            s1_bands=dl.S1_BANDS,
+            s2_bands=dl.S2_BANDS,
+            dtype=dl.get("CACHE_DTYPE", "float16"),
+            cache_dir=dl.get("CACHE_DIR", None),
+            enabled=dl.get("SCENE_CACHE", True),
+        )

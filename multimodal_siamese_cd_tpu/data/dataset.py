@@ -1,0 +1,208 @@
+"""MultimodalCDDataset — the SpaceNet7 bitemporal S1+S2 dataset.
+
+Same constructor and sampling semantics as the reference
+(utils/datasets.py:65-193): AOI split lists from the config, optional
+unlabeled AOIs for semi-supervised runs, TRAINING_MULTIPLIER epoch
+inflation, per-sample timestamp-pair sampling ('first_last' or random
+sorted pair), construction-only change labels (t1==0 ∧ t2==1), and the
+same sample dict keys.
+
+TPU-native differences:
+  * arrays are HWC float32 numpy (channels-last; the reference yields CHW
+    torch tensors via Numpy2Torch),
+  * scenes come from the packed :class:`~.cache.SceneCache` instead of
+    per-item rasterio decodes,
+  * randomness uses an explicit ``np.random.Generator`` seeded from
+    ``cfg.SEED`` (deterministic per dataset instance) instead of global
+    numpy state,
+  * ``crop_only=True`` defers flips/rot/photometric augs to the device
+    graph (:func:`~.augmentations.device_augment_batch`); default False
+    reproduces the full reference host pipeline.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from .. import geofiles
+from . import augmentations
+from .cache import SceneCache
+
+
+class MultimodalCDDataset:
+    def __init__(self, cfg, run_type: str, no_augmentations: bool = False,
+                 dataset_mode: str = None, disable_multiplier: bool = False,
+                 disable_unlabeled: bool = False, crop_only: bool = False,
+                 return_stack: bool = False, seed: int | None = None):
+        self.cfg = cfg
+        self.return_stack = return_stack
+        self.run_type = run_type
+        self.root_path = Path(cfg.PATHS.DATASET)
+        self.metadata = geofiles.load_json(self.root_path / 'metadata.json')
+
+        self.s1_band_indices = list(cfg.DATALOADER.S1_BANDS)
+        self.s2_band_indices = list(cfg.DATALOADER.S2_BANDS)
+        self.dataset_mode = (cfg.DATALOADER.DATASET_MODE if dataset_mode is None
+                             else dataset_mode)
+        self.include_building_labels = cfg.DATALOADER.INCLUDE_BUILDING_LABELS
+
+        self.no_augmentations = no_augmentations
+        self.crop_only = crop_only and not no_augmentations
+        self.rng = np.random.default_rng(
+            cfg.get('SEED', 7) if seed is None else seed)
+        self.transform = augmentations.compose_transformations(
+            cfg, no_augmentations, rng=self.rng, crop_only=self.crop_only)
+
+        # AOI split selection (reference datasets.py:79-97)
+        if run_type == 'training':
+            self.aoi_ids = list(cfg.DATASET.TRAINING_IDS)
+        elif run_type == 'validation':
+            self.aoi_ids = list(cfg.DATASET.VALIDATION_IDS)
+        else:
+            self.aoi_ids = list(cfg.DATASET.TEST_IDS)
+        self.labeled = [True] * len(self.aoi_ids)
+
+        if ((cfg.DATALOADER.INCLUDE_UNLABELED or
+             cfg.DATALOADER.INCLUDE_UNLABELED_VALIDATION) and not disable_unlabeled):
+            aoi_ids_unlabelled = []
+            if cfg.DATALOADER.INCLUDE_UNLABELED:
+                aoi_ids_unlabelled += list(cfg.DATASET.UNLABELED_IDS)
+            if cfg.DATALOADER.INCLUDE_UNLABELED_VALIDATION:
+                aoi_ids_unlabelled += list(cfg.DATASET.VALIDATION_IDS)
+            aoi_ids_unlabelled = sorted(aoi_ids_unlabelled)
+            self.aoi_ids.extend(aoi_ids_unlabelled)
+            self.labeled.extend([False] * len(aoi_ids_unlabelled))
+
+        if not disable_multiplier:
+            self.aoi_ids = self.aoi_ids * cfg.DATALOADER.TRAINING_MULTIPLIER
+            self.labeled = self.labeled * cfg.DATALOADER.TRAINING_MULTIPLIER
+
+        self.length = len(self.aoi_ids)
+        self.cache = SceneCache.from_cfg(cfg, self.metadata)
+
+    # -- timestamp selection (reference datasets.py:115-124) -------------------
+    def _eligible_timestamps(self, aoi_id: str, labeled: bool) -> list[tuple[int, int]]:
+        ts = self.metadata[aoi_id]
+        if labeled:
+            return [(t['year'], t['month']) for t in ts
+                    if t['s1'] and t['s2'] and t['buildings'] and not t['masked']]
+        return [(t['year'], t['month']) for t in ts if t['s1'] and t['s2']]
+
+    def _pick_pair(self, timestamps: list, rng: np.random.Generator) -> tuple:
+        if self.dataset_mode == 'first_last':
+            return timestamps[0], timestamps[-1]
+        i, j = sorted(rng.integers(0, len(timestamps), size=2))
+        return timestamps[i], timestamps[j]
+
+    # -- raw loads --------------------------------------------------------------
+    def _load_change_label(self, aoi_id, year_t1, month_t1, year_t2, month_t2):
+        b1 = self.cache.load(aoi_id, 'buildings', year_t1, month_t1)
+        b2 = self.cache.load(aoi_id, 'buildings', year_t2, month_t2)
+        change = np.logical_and(b1 == 0, b2 == 1)  # construction only
+        return change.astype(np.float32)
+
+    # -- item assembly (reference datasets.py:111-181) ---------------------------
+    def __getitem__(self, index: int) -> dict:
+        return self.get(index)
+
+    def get(self, index: int, rng: np.random.Generator | None = None) -> dict:
+        """Like ``__getitem__`` but with an explicit PRNG — loader worker
+        threads pass per-batch generators so multi-threaded epochs stay
+        deterministic regardless of scheduling."""
+        if rng is None:
+            rng, transform = self.rng, self.transform
+        else:
+            transform = augmentations.compose_transformations(
+                self.cfg, self.no_augmentations, rng=rng, crop_only=self.crop_only)
+
+        aoi_id = self.aoi_ids[index]
+        labeled = self.labeled[index]
+        timestamps = self._eligible_timestamps(aoi_id, labeled)
+        (year_t1, month_t1), (year_t2, month_t2) = self._pick_pair(timestamps, rng)
+
+        img_s1_t1 = self.cache.load(aoi_id, 's1', year_t1, month_t1)
+        img_s2_t1 = self.cache.load(aoi_id, 's2', year_t1, month_t1)
+        img_s1_t2 = self.cache.load(aoi_id, 's1', year_t2, month_t2)
+        img_s2_t2 = self.cache.load(aoi_id, 's2', year_t2, month_t2)
+
+        h, w = img_s1_t1.shape[:2]
+        if labeled:
+            change = self._load_change_label(aoi_id, year_t1, month_t1,
+                                             year_t2, month_t2)
+            if self.include_building_labels:
+                b1 = self.cache.load(aoi_id, 'buildings', year_t1, month_t1)
+                b2 = self.cache.load(aoi_id, 'buildings', year_t2, month_t2)
+                buildings = np.concatenate((b1, b2), axis=-1).astype(np.float32)
+            else:
+                buildings = np.zeros((h, w, 2), np.float32)
+        else:
+            change = np.zeros((h, w, 1), np.float32)
+            buildings = np.zeros((h, w, 2), np.float32)
+
+        imgs = np.concatenate((img_s1_t1, img_s1_t2, img_s2_t1, img_s2_t2), axis=-1)
+        imgs, buildings, change = transform((imgs, buildings, change))
+
+        if self.return_stack:
+            # Joint (S, S, 8+2+1) stack for the device-side augmentation graph;
+            # the jitted train step splits it by static channel counts.
+            return {
+                'stack': np.ascontiguousarray(
+                    np.concatenate((imgs, buildings, change), axis=-1)),
+                'aoi_id': aoi_id,
+                'year_t1': year_t1, 'month_t1': month_t1,
+                'year_t2': year_t2, 'month_t2': month_t2,
+                'is_labeled': labeled,
+            }
+
+        n_s1 = len(self.s1_band_indices)
+        n_s2 = len(self.s2_band_indices)
+        img_s1_t1, img_s1_t2 = imgs[..., :n_s1], imgs[..., n_s1:2 * n_s1]
+        img_s2_t1 = imgs[..., 2 * n_s1:2 * n_s1 + n_s2]
+        img_s2_t2 = imgs[..., 2 * n_s1 + n_s2:]
+
+        mode = self.cfg.DATALOADER.INPUT_MODE
+        if mode == 's1':
+            x_t1, x_t2 = img_s1_t1, img_s1_t2
+        elif mode == 's2':
+            x_t1, x_t2 = img_s2_t1, img_s2_t2
+        else:
+            x_t1 = np.concatenate((img_s1_t1, img_s2_t1), axis=-1)
+            x_t2 = np.concatenate((img_s1_t2, img_s2_t2), axis=-1)
+
+        item = {
+            'x_t1': np.ascontiguousarray(x_t1),
+            'x_t2': np.ascontiguousarray(x_t2),
+            'y_change': np.ascontiguousarray(change),
+            'aoi_id': aoi_id,
+            'year_t1': year_t1,
+            'month_t1': month_t1,
+            'year_t2': year_t2,
+            'month_t2': month_t2,
+            'is_labeled': labeled,
+        }
+        if self.include_building_labels:
+            item['y_sem_t1'] = np.ascontiguousarray(buildings[..., :1])
+            item['y_sem_t2'] = np.ascontiguousarray(buildings[..., 1:])
+        return item
+
+    def get_aoi_ids(self) -> list:
+        return list(set(self.aoi_ids))
+
+    def get_index(self, aoi_id: str):
+        """Linear AOI lookup (reference datasets.py:183-187)."""
+        for index, candidate in enumerate(self.aoi_ids):
+            if aoi_id == candidate:
+                return index
+        return None
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __iter__(self):
+        for i in range(self.length):
+            yield self[i]
+
+    def __str__(self) -> str:
+        return f'Dataset with {self.length} samples.'

@@ -1,0 +1,245 @@
+"""Data pipeline tests against the synthetic fixture: dataset semantics
+(splits, multiplier, timestamp pairs, change labels, input modes), scene
+cache correctness, augmentation behaviour (incl. importance-crop via
+integral image), loader determinism, and the device augmentation graph."""
+
+import numpy as np
+import pytest
+
+from multimodal_siamese_cd_tpu import geofiles
+from multimodal_siamese_cd_tpu.config import load_cfg
+from multimodal_siamese_cd_tpu.data import augmentations as aug
+from multimodal_siamese_cd_tpu.data.cache import SceneCache
+from multimodal_siamese_cd_tpu.data.dataset import MultimodalCDDataset
+from multimodal_siamese_cd_tpu.data.loader import TrainLoader, collate
+from multimodal_siamese_cd_tpu.data.synthetic import (
+    TEST_AOIS,
+    TRAIN_AOIS,
+    UNLABELED_AOIS,
+    VAL_AOIS,
+    fixture_cfg_overrides,
+)
+
+
+@pytest.fixture()
+def cfg(fixture_dataset, tmp_path):
+    import os
+
+    c = load_cfg("debug")
+    c.merge_from_list(fixture_cfg_overrides())
+    c.PATHS.OUTPUT = str(tmp_path)
+    c.PATHS.DATASET = str(fixture_dataset)
+    os.makedirs(tmp_path, exist_ok=True)
+    return c
+
+
+def test_split_selection_and_multiplier(cfg):
+    ds = MultimodalCDDataset(cfg, "training")
+    # 2 train AOIs x multiplier 2
+    assert len(ds) == 2 * 2
+    assert set(ds.get_aoi_ids()) == set(TRAIN_AOIS)
+    ds_val = MultimodalCDDataset(cfg, "validation", disable_multiplier=True)
+    assert len(ds_val) == len(VAL_AOIS)
+    ds_test = MultimodalCDDataset(cfg, "test", disable_multiplier=True)
+    assert set(ds_test.get_aoi_ids()) == set(TEST_AOIS)
+
+
+def test_unlabeled_inclusion(cfg):
+    cfg.DATALOADER.INCLUDE_UNLABELED = True
+    ds = MultimodalCDDataset(cfg, "training", disable_multiplier=True)
+    assert len(ds) == len(TRAIN_AOIS) + len(UNLABELED_AOIS)
+    assert sum(ds.labeled) == len(TRAIN_AOIS)
+    ds2 = MultimodalCDDataset(cfg, "training", disable_multiplier=True,
+                              disable_unlabeled=True)
+    assert len(ds2) == len(TRAIN_AOIS)
+
+
+def test_item_structure_and_input_modes(cfg):
+    for mode, channels in [("s1s2", 6), ("s1", 2), ("s2", 4)]:
+        cfg.DATALOADER.INPUT_MODE = mode
+        ds = MultimodalCDDataset(cfg, "training", disable_multiplier=True)
+        item = ds[0]
+        s = cfg.AUGMENTATION.CROP_SIZE
+        assert item["x_t1"].shape == (s, s, channels)
+        assert item["x_t2"].shape == (s, s, channels)
+        assert item["y_change"].shape == (s, s, 1)
+        assert item["is_labeled"] is True
+        assert item["x_t1"].dtype == np.float32
+        assert 0.0 <= item["x_t1"].min() and item["x_t1"].max() <= 1.0  # clip+nan_to_num
+        assert (item["year_t1"], item["month_t1"]) <= (item["year_t2"], item["month_t2"])
+
+
+def test_first_last_mode_and_change_label(cfg, fixture_dataset):
+    ds = MultimodalCDDataset(cfg, "training", no_augmentations=True,
+                             dataset_mode="first_last", disable_multiplier=True)
+    item = ds[0]
+    aoi = item["aoi_id"]
+    meta = geofiles.load_json(fixture_dataset / "metadata.json")[aoi]
+    assert (item["year_t1"], item["month_t1"]) == (meta[0]["year"], meta[0]["month"])
+    assert (item["year_t2"], item["month_t2"]) == (meta[-1]["year"], meta[-1]["month"])
+    # change = construction only: b_t1==0 & b_t2==1
+    b1, _, _ = geofiles.read_tif(
+        fixture_dataset / aoi / "buildings" /
+        f"buildings_{aoi}_{item['year_t1']}_{item['month_t1']:02d}.tif")
+    b2, _, _ = geofiles.read_tif(
+        fixture_dataset / aoi / "buildings" /
+        f"buildings_{aoi}_{item['year_t2']}_{item['month_t2']:02d}.tif")
+    expected = np.logical_and(b1 == 0, b2 == 1).astype(np.float32)
+    np.testing.assert_array_equal(item["y_change"], expected)
+
+
+def test_building_labels_included(cfg):
+    cfg.DATALOADER.INCLUDE_BUILDING_LABELS = True
+    ds = MultimodalCDDataset(cfg, "training", disable_multiplier=True)
+    item = ds[0]
+    s = cfg.AUGMENTATION.CROP_SIZE
+    assert item["y_sem_t1"].shape == (s, s, 1)
+    assert item["y_sem_t2"].shape == (s, s, 1)
+    assert set(np.unique(item["y_sem_t1"])) <= {0.0, 1.0}
+
+
+def test_unlabeled_items_zero_change(cfg):
+    cfg.DATALOADER.INCLUDE_UNLABELED = True
+    ds = MultimodalCDDataset(cfg, "training", disable_multiplier=True)
+    idx = ds.labeled.index(False)
+    item = ds.get(idx, np.random.default_rng(0))
+    assert item["is_labeled"] is False
+    assert item["y_change"].sum() == 0
+
+
+def test_scene_cache_matches_direct_decode(cfg, fixture_dataset):
+    meta = geofiles.load_json(fixture_dataset / "metadata.json")
+    direct = SceneCache(fixture_dataset, meta, cfg.DATALOADER.S1_BANDS,
+                        cfg.DATALOADER.S2_BANDS, enabled=False)
+    cached = SceneCache(fixture_dataset, meta, cfg.DATALOADER.S1_BANDS,
+                        cfg.DATALOADER.S2_BANDS, dtype="float32", enabled=True)
+    aoi = TRAIN_AOIS[0]
+    ts = meta[aoi][0]
+    for mod in ("s1", "s2", "buildings"):
+        a = direct.load(aoi, mod, ts["year"], ts["month"])
+        b = cached.load(aoi, mod, ts["year"], ts["month"])
+        np.testing.assert_array_equal(a, b)
+    # float16 cache is within quantization error
+    c16 = SceneCache(fixture_dataset, meta, cfg.DATALOADER.S1_BANDS,
+                     cfg.DATALOADER.S2_BANDS, dtype="float16", enabled=True)
+    a = direct.load(aoi, "s2", ts["year"], ts["month"])
+    b = c16.load(aoi, "s2", ts["year"], ts["month"])
+    assert np.abs(a - b).max() < 5e-4
+
+
+def test_importance_crop_integral_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    change = (rng.uniform(size=(50, 60, 1)) > 0.9).astype(np.float32)
+    crop = aug.ImportanceRandomCrop(16, np.random.default_rng(1))
+    offsets = crop.sample_offsets(50, 60, 20)
+    label2d = change[:, :, 0]
+    integral = np.zeros((51, 61))
+    integral[1:, 1:] = label2d.cumsum(0).cumsum(1)
+    for y, x in offsets:
+        brute = change[y:y + 16, x:x + 16].sum()
+        fast = (integral[y + 16, x + 16] - integral[y, x + 16]
+                - integral[y + 16, x] + integral[y, x])
+        assert brute == pytest.approx(fast)
+
+
+def test_importance_crop_prefers_positive_regions():
+    """A change map with one positive blob: importance crops should hit the
+    blob far more often than uniform crops (weights ∝ sum + 5)."""
+    change = np.zeros((100, 100, 1), np.float32)
+    change[10:30, 10:30] = 1.0
+    imgs = np.zeros((100, 100, 2), np.float32)
+    rng = np.random.default_rng(2)
+    crop = aug.ImportanceRandomCrop(20, rng)
+    hits = sum(crop((imgs, imgs, change))[2].sum() > 0 for _ in range(200))
+    rng_u = np.random.default_rng(2)
+    ucrop = aug.UniformCrop(20, rng_u)
+    hits_uniform = sum(ucrop((imgs, imgs, change))[2].sum() > 0 for _ in range(200))
+    assert hits > hits_uniform * 1.5
+
+
+def test_rotate_never_identity():
+    rng = np.random.default_rng(0)
+    rot = aug.RandomRotate(rng)
+    x = np.arange(16, dtype=np.float32).reshape(4, 4, 1)
+    for _ in range(20):
+        out, _, _ = rot((x, x, x))
+        assert not np.array_equal(out, x)  # k ∈ {1,2,3}, never 0
+
+
+def test_geometric_ops_apply_jointly(cfg):
+    """Flips/rotations must transform imagery and labels identically."""
+    rng = np.random.default_rng(5)
+    flip = aug.RandomFlip(rng)
+    x = np.random.default_rng(0).uniform(size=(8, 8, 3)).astype(np.float32)
+    a, b, c = flip((x, x.copy(), x.copy()))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
+
+
+def test_loader_determinism_and_shapes(cfg):
+    ds = MultimodalCDDataset(cfg, "training", return_stack=True)
+    loader1 = TrainLoader(ds, batch_size=2, num_workers=2, seed=3)
+    loader2 = TrainLoader(ds, batch_size=2, num_workers=0, seed=3)
+    b1 = next(iter(loader1))
+    b2 = next(iter(loader2))
+    s = cfg.AUGMENTATION.CROP_SIZE
+    # 12 imagery (2x2 S1 + 2x4 S2) + 2 buildings + 1 change
+    assert b1["stack"].shape == (2, s, s, 15)
+    assert b1["is_labeled"].shape == (2,)
+    # threaded and synchronous loaders produce identical batches
+    np.testing.assert_array_equal(b1["stack"], b2["stack"])
+    assert b1["aoi_id"] == b2["aoi_id"]
+    assert len(loader1) == len(ds) // 2
+
+
+def test_loader_epochs_differ(cfg):
+    ds = MultimodalCDDataset(cfg, "training", return_stack=True)
+    loader = TrainLoader(ds, batch_size=2, num_workers=0, seed=3)
+    e1 = next(iter(loader))
+    e2 = next(iter(loader))
+    assert not np.array_equal(e1["stack"], e2["stack"])
+
+
+def test_collate_mixed_keys():
+    items = [{"x_t1": np.zeros((4, 4, 2), np.float32), "is_labeled": True,
+              "aoi_id": "a", "year_t1": 2019},
+             {"x_t1": np.ones((4, 4, 2), np.float32), "is_labeled": False,
+              "aoi_id": "b", "year_t1": 2020}]
+    batch = collate(items)
+    assert batch["x_t1"].shape == (2, 4, 4, 2)
+    np.testing.assert_array_equal(batch["is_labeled"], [1.0, 0.0])
+    assert batch["aoi_id"] == ["a", "b"]
+
+
+def test_device_augment_distributions():
+    """Device graph: geometric ops move imagery and labels identically;
+    photometric ops touch imagery only; values stay in [0, 1]."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(size=(8, 16, 16, 1)).astype(np.float32)
+    stack = np.concatenate([base, base.copy(), base.copy()], axis=-1)  # 2 img ch + 1 label ch
+    out = aug.device_augment_batch(
+        stack, jax.random.PRNGKey(0), flip=True, rotate=True,
+        color_shift=False, gamma=False, n_img_channels=2)
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[..., 0], out[..., 2], rtol=1e-6)
+
+    out2 = np.asarray(aug.device_augment_batch(
+        stack, jax.random.PRNGKey(1), flip=False, rotate=False,
+        color_shift=True, gamma=True, n_img_channels=2))
+    np.testing.assert_array_equal(out2[..., 2], stack[..., 2])  # labels untouched
+    assert not np.array_equal(out2[..., 0], stack[..., 0])
+    assert out2.min() >= 0.0 and out2.max() <= 1.0
+
+
+def test_device_rot90_matches_numpy():
+    import jax
+
+    x = np.arange(2 * 4 * 4 * 3, dtype=np.float32).reshape(2, 4, 4, 3)
+    out = np.asarray(aug.device_augment_batch(
+        x, jax.random.PRNGKey(0), flip=False, rotate=True,
+        color_shift=False, gamma=False, n_img_channels=3))
+    for b in range(2):
+        assert any(np.array_equal(out[b], np.rot90(x[b], k, axes=(0, 1)))
+                   for k in (1, 2, 3))
