@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark harness: training throughput in patches/sec/chip.
+
+Definition (BASELINE.md): full training step — device-side augmentation +
+forward + backward + AdamW update — on 256x256 bitemporal S1+S2 pairs
+('s1s2', 6 channels per timestamp) at the config batch size, flagship
+SiameseUNet [64, 128, 256, 512]. The PyTorch reference measured under the
+same definition by tools/bench_reference.py provides ``vs_baseline``
+(see BASELINE.md for the recorded number and caveats).
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "patches/sec/chip", "vs_baseline": N}``
+
+Flags: ``--model`` ``--batch-size`` ``--steps`` ``--crop`` ``--precision``
+``--regime`` for exploration; defaults match the headline definition.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+from multimodal_siamese_cd_tpu import train_lib
+from multimodal_siamese_cd_tpu.config import load_cfg
+from multimodal_siamese_cd_tpu.parallel import batch_sharding, data_mesh
+
+# PyTorch reference throughput under the identical step definition,
+# measured by tools/bench_reference.py on this host (see BASELINE.md).
+TORCH_REFERENCE_PATCHES_PER_SEC = 2.2
+
+
+def build_batch(batch_size: int, crop: int, rng: np.random.Generator):
+    # stack layout: 12 imagery channels (2x2 S1 + 2x4 S2) + 2 buildings + 1 change
+    stack = rng.uniform(0, 1, size=(batch_size, crop, crop, 15)).astype(np.float32)
+    stack[..., 12:] = (stack[..., 12:] > 0.8).astype(np.float32)
+    is_labeled = np.ones((batch_size,), np.float32)
+    return stack, is_labeled
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="siameseunet")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--crop", type=int, default=256)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--precision", default="bf16")
+    p.add_argument("--regime", default="supervised")
+    args = p.parse_args()
+
+    cfg = load_cfg("base")
+    cfg.MODEL.TYPE = args.model
+    cfg.TRAINER.PRECISION = args.precision
+    cfg.AUGMENTATION.CROP_SIZE = args.crop
+    batch_size = args.batch_size or cfg.TRAINER.BATCH_SIZE
+    cfg.TRAINER.BATCH_SIZE = batch_size
+    if args.regime == "semisupervised":
+        cfg.DATALOADER.INCLUDE_UNLABELED = True
+
+    n_chips = len(jax.devices())
+    mesh = data_mesh() if batch_size % n_chips == 0 else data_mesh(jax.devices()[:1])
+
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    step_fn = train_lib.make_train_step(model, cfg, args.regime, mesh=mesh)
+    rng = jax.random.PRNGKey(7)
+
+    host = np.random.default_rng(0)
+    stack, is_labeled = build_batch(batch_size, args.crop, host)
+    stack = jax.device_put(stack, batch_sharding(mesh))
+    is_labeled = jax.device_put(is_labeled)
+
+    for _ in range(args.warmup):
+        state, m = step_fn(state, stack, is_labeled, rng)
+    jax.block_until_ready(m["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, m = step_fn(state, stack, is_labeled, rng)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    patches_per_sec = batch_size * args.steps / dt
+    per_chip = patches_per_sec / mesh.size
+    result = {
+        "metric": "train_patches_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "patches/sec/chip",
+        "vs_baseline": round(per_chip / TORCH_REFERENCE_PATCHES_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+    print(f"# model={args.model} regime={args.regime} batch={batch_size} "
+          f"crop={args.crop} precision={args.precision} chips={mesh.size} "
+          f"backend={jax.default_backend()} steps={args.steps} "
+          f"total={patches_per_sec:.1f} patches/s step={dt / args.steps * 1e3:.2f} ms",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,58 @@
+"""Checkpoint save/load.
+
+Keeps the reference's on-disk contract — files named
+``{OUTPUT}/networks/{NAME}_checkpoint{epoch}.pt`` holding step + model +
+optimizer state (utils/networks.py:30-56) — with flax msgpack serialization
+instead of torch pickles. ``load_checkpoint`` rebuilds the model and
+TrainState exactly like the reference rebuilds net+AdamW before restoring.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+from flax import serialization
+
+from . import train_lib
+
+
+def checkpoint_file(cfg, epoch) -> Path:
+    return Path(cfg.PATHS.OUTPUT) / 'networks' / f'{cfg.NAME}_checkpoint{epoch}.pt'
+
+
+def save_checkpoint(state: train_lib.TrainState, epoch, step: int, cfg) -> Path:
+    """reference networks.py:30-38."""
+    save_file = checkpoint_file(cfg, epoch)
+    save_file.parent.mkdir(parents=True, exist_ok=True)
+    payload = {
+        'step': step,
+        'params': jax.device_get(state.params),
+        'batch_stats': jax.device_get(state.batch_stats),
+        'opt_state': jax.device_get(state.opt_state),
+    }
+    save_file.write_bytes(serialization.to_bytes(payload))
+    return save_file
+
+
+def load_checkpoint(epoch, cfg, net_file: Path | None = None):
+    """Rebuild model + optimizer and restore (reference networks.py:41-56).
+
+    Returns ``(model, state, step)``.
+    """
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(cfg.SEED))
+    target = {
+        'step': 0,
+        'params': state.params,
+        'batch_stats': state.batch_stats,
+        'opt_state': state.opt_state,
+    }
+    file = checkpoint_file(cfg, epoch) if net_file is None else Path(net_file)
+    restored = serialization.from_bytes(target, file.read_bytes())
+    state = state.replace(
+        step=restored['step'],
+        params=restored['params'],
+        batch_stats=restored['batch_stats'],
+        opt_state=restored['opt_state'],
+    )
+    return model, state, restored['step']

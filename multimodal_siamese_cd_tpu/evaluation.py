@@ -1,0 +1,133 @@
+"""In-training evaluation and offline inference loops.
+
+``model_evaluation`` mirrors the reference protocol (utils/evaluation.py:
+7-41): fresh first_last/no-aug/no-multiplier dataset, batch 1 over full
+scenes, sigmoid probabilities, threshold set linspace(0.5, 1, 1) == {0.5},
+max-F1 over thresholds, '{run_type} F1/precision/recall' metric names.
+
+XLA needs static shapes, so variable-size scenes are padded up to bucketed
+dimensions (multiples of 64 — also covering the U-Net's pooling
+divisibility) and the padded area is excluded from the confusion counts via
+a validity mask; compilation cost is bounded by the number of distinct
+buckets, not scenes.
+
+``inference_loop`` is the rebuilt version of the reference's missing
+``evaluation.inference_loop`` that assessment_change.py:59 calls — the
+repo-wide stale symbol (SURVEY defect 3) — implemented with the same
+semantics as the in-training pass minus logging.
+
+Also fixes the reference's loop-variable shadowing of ``step``
+(evaluation.py:19) — the logged 'step' here is the trainer's global step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import wandb_compat
+from .data.dataset import MultimodalCDDataset
+from .metrics import MultiThresholdMetric
+from .train_lib import eval_forward
+
+EVAL_BUCKET = 64
+
+
+def pad_to_bucket(arr: np.ndarray, bucket: int = EVAL_BUCKET):
+    """Pad (H, W, C) up to multiples of ``bucket``; returns (padded, valid)
+    where valid is the (H_pad, W_pad) {0,1} mask of real pixels."""
+    h, w = arr.shape[:2]
+    hp = -(-h // bucket) * bucket
+    wp = -(-w // bucket) * bucket
+    padded = np.zeros((hp, wp) + arr.shape[2:], arr.dtype)
+    padded[:h, :w] = arr
+    valid = np.zeros((hp, wp), np.float32)
+    valid[:h, :w] = 1.0
+    return padded, valid
+
+
+def scene_probabilities(model, state, item: dict) -> np.ndarray:
+    """Eval-mode change probabilities for one full (unpadded) scene item."""
+    x1, valid = pad_to_bucket(item["x_t1"])
+    x2, _ = pad_to_bucket(item["x_t2"])
+    probs = eval_forward(model, state.params, state.batch_stats,
+                         x1[None], x2[None])
+    h, w = item["x_t1"].shape[:2]
+    return np.asarray(probs)[0, :h, :w, 0]
+
+
+def run_measurer(model, state, ds, thresholds) -> MultiThresholdMetric:
+    """Full-scene confusion accumulation over a dataset (batch 1)."""
+    measurer = MultiThresholdMetric(thresholds)
+    for item in ds:
+        x1, valid = pad_to_bucket(item["x_t1"])
+        x2, _ = pad_to_bucket(item["x_t2"])
+        y, _ = pad_to_bucket(item["y_change"])
+        probs = eval_forward(model, state.params, state.batch_stats,
+                             x1[None], x2[None])
+        measurer.add_sample(y[None, ..., 0], probs[..., 0],
+                            valid_mask=valid[None])
+    return measurer
+
+
+def _summarize(measurer: MultiThresholdMetric):
+    f1s = np.asarray(measurer.compute_f1())
+    precisions = np.asarray(measurer.precision)
+    recalls = np.asarray(measurer.recall)
+    best = int(f1s.argmax())
+    return float(f1s[best]), float(precisions[best]), float(recalls[best])
+
+
+def model_evaluation(model, state, cfg, run_type: str, epoch: float,
+                     step: int) -> float:
+    """In-training eval + logging (reference evaluation.py:7-41).
+    Returns the best F1."""
+    thresholds = np.linspace(0.5, 1, 1)
+    ds = MultimodalCDDataset(cfg, run_type, no_augmentations=True,
+                             dataset_mode='first_last', disable_multiplier=True,
+                             disable_unlabeled=True)
+    measurer = run_measurer(model, state, ds, thresholds)
+    f1, precision, recall = _summarize(measurer)
+    wandb_compat.log({
+        f'{run_type} F1': f1,
+        f'{run_type} precision': precision,
+        f'{run_type} recall': recall,
+        'step': step, 'epoch': epoch,
+    })
+    return f1
+
+
+def inference_loop(model, state, ds, thresholds=None) -> dict:
+    """Offline quantitative inference (the contract assessment_change.py:59-61
+    expects): returns ``{'change': (f1, precision, recall)}`` over the
+    dataset at threshold 0.5."""
+    thresholds = np.asarray([0.5]) if thresholds is None else np.asarray(thresholds)
+    measurer = run_measurer(model, state, ds, thresholds)
+    return {'change': _summarize(measurer)}
+
+
+def dualtask_scene_outputs(model, state, item: dict) -> dict:
+    """All sigmoid heads of a dual-task model for one scene, plus the
+    auxiliary change-from-semantics head (assessment_semantics.py:115-126)."""
+    import jax
+
+    x1, _ = pad_to_bucket(item["x_t1"])
+    x2, _ = pad_to_bucket(item["x_t2"])
+    h, w = item["x_t1"].shape[:2]
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def fwd(v, a, b):
+        logits_change, logits_sem_t1, logits_sem_t2 = model.apply(
+            v, a, b, train=False)
+        logits_change_sem = model.apply(
+            v, logits_sem_t1, logits_sem_t2,
+            method=model.sem_change_head)
+        sig = jax.nn.sigmoid
+        return (sig(logits_change), sig(logits_sem_t1), sig(logits_sem_t2),
+                sig(logits_change_sem))
+
+    change, sem_t1, sem_t2, change_sem = fwd(variables, x1[None], x2[None])
+    clip = lambda a: np.asarray(a)[0, :h, :w, 0]
+    return {"change": clip(change), "sem_t1": clip(sem_t1),
+            "sem_t2": clip(sem_t2), "change_sem": clip(change_sem)}

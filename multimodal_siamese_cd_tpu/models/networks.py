@@ -137,6 +137,11 @@ class DualTaskSiameseUNet(nn.Module):
         out_change = self.outc_change(self.decoder_change(_diff(f_t1, f_t2), train))
         out_sem_t2 = self.outc_sem(self.decoder_sem(f_t2, train))
         out_sem_t1 = self.outc_sem(self.decoder_sem(f_t1, train))
+        if self.is_initializing():
+            # The aux head takes no part in the forward pass (reference
+            # networks.py:174) but must exist in the checkpointed parameter
+            # set for assessment_semantics.py; touch it so init creates it.
+            self.sem_change_head(out_sem_t1, out_sem_t2)
         return out_change, out_sem_t1, out_sem_t2
 
     def sem_change_head(self, logits_sem_t1, logits_sem_t2):

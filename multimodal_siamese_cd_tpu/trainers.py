@@ -1,0 +1,269 @@
+"""Trainer drivers for the three training regimes.
+
+Each ``run_*`` reproduces its reference entry point's control flow —
+epoch/step accounting, DEBUG short-circuits, LOG_FREQ evaluation cadence,
+wandb metric names, checkpoint epochs — on top of the TPU training core:
+
+  * run_supervised        ⇔ train_supervised.py:17-116
+  * run_semisupervised    ⇔ train_semisupervised.py:16-163
+  * run_dualtask          ⇔ train_supervised_dualtask.py:16-128 (the
+    reference script is startup-broken — missing parser/dataset/eval
+    symbols, SURVEY defect 2 — its intended semantics are rebuilt working)
+
+The hot loop is: threaded host loader (crop-only samples as joint channel
+stacks) -> async device_put sharded over the data mesh -> one jitted step
+(augment + fwd + bwd + AdamW). Loss scalars stay on device until log time.
+"""
+
+from __future__ import annotations
+
+import timeit
+
+import jax
+import numpy as np
+
+from . import checkpoints, evaluation, train_lib, wandb_compat
+from .data.dataset import MultimodalCDDataset
+from .data.loader import TrainLoader, prefetch_to_device
+from .parallel import batch_sharding, data_mesh
+
+
+def print_run_config(cfg, device_desc: str) -> None:
+    """Stdout run-config table (reference train_supervised.py:18-28, minus
+    the tabulate dependency)."""
+    rows = [
+        ("CONFIG_NAME", cfg.NAME),
+        ("device", device_desc),
+        ("epochs", cfg.TRAINER.EPOCHS),
+        ("learning rate", cfg.TRAINER.LR),
+        ("batch size", cfg.TRAINER.BATCH_SIZE),
+    ]
+    width = max(len(k) for k, _ in rows)
+    print("+" + "-" * (width + 24) + "+")
+    for k, v in rows:
+        print(f"| {k:<{width}} : {v!s:<19} |")
+    print("+" + "-" * (width + 24) + "+", flush=True)
+
+
+def _training_mesh(cfg):
+    mesh = data_mesh()
+    if cfg.TRAINER.BATCH_SIZE % mesh.size != 0:
+        print(f"warning: batch {cfg.TRAINER.BATCH_SIZE} not divisible by "
+              f"{mesh.size} devices; running single-device")
+        mesh = data_mesh(jax.devices()[:1])
+    return mesh
+
+
+def _loader(cfg) -> TrainLoader:
+    ds = MultimodalCDDataset(cfg, 'training', return_stack=True, crop_only=True)
+    print(ds)
+    return TrainLoader(
+        ds,
+        batch_size=cfg.TRAINER.BATCH_SIZE,
+        shuffle=cfg.DATALOADER.SHUFFLE,
+        drop_last=True,
+        num_workers=0 if cfg.DEBUG else cfg.DATALOADER.NUM_WORKER,
+        seed=cfg.SEED,
+    )
+
+
+def _mean(values: list) -> float:
+    return float(np.mean([float(v) for v in values])) if values else 0.0
+
+
+def run_supervised(cfg) -> None:
+    mesh = _training_mesh(cfg)
+    print_run_config(cfg, f"{jax.default_backend()}[{mesh.size}]")
+
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(cfg.SEED))
+    step_fn = train_lib.make_train_step(model, cfg, 'supervised', mesh=mesh)
+    rng = jax.random.PRNGKey(cfg.SEED)
+
+    loader = _loader(cfg)
+    epochs = cfg.TRAINER.EPOCHS
+    save_checkpoints = cfg.SAVE_CHECKPOINTS
+    steps_per_epoch = len(loader)
+
+    global_step = epoch_float = 0
+    for epoch in range(1, epochs + 1):
+        print(f'Starting epoch {epoch}/{epochs}.')
+        start = timeit.default_timer()
+        loss_set = []
+
+        for batch in prefetch_to_device(loader, sharding=batch_sharding(mesh)):
+            state, m = step_fn(state, batch['stack'], batch['is_labeled'], rng)
+            loss_set.append(m['loss'])
+
+            global_step += 1
+            epoch_float = global_step / steps_per_epoch
+
+            if cfg.DEBUG:
+                evaluation.model_evaluation(model, state, cfg, 'test',
+                                            epoch_float, global_step)
+                break
+
+            if global_step % cfg.LOG_FREQ == 0:
+                print(f'Logging step {global_step} (epoch {epoch_float:.2f}).')
+                evaluation.model_evaluation(model, state, cfg, 'training',
+                                            epoch_float, global_step)
+                evaluation.model_evaluation(model, state, cfg, 'validation',
+                                            epoch_float, global_step)
+                time = timeit.default_timer() - start
+                wandb_compat.log({
+                    'loss': _mean(loss_set),
+                    'labeled_percentage': 100,
+                    'time': time,
+                    'step': global_step,
+                    'epoch': epoch_float,
+                })
+                start = timeit.default_timer()
+                loss_set = []
+
+        if not cfg.DEBUG:
+            assert epoch == epoch_float
+        print(f'epoch float {epoch_float} (step {global_step}) - epoch {epoch}')
+        evaluation.model_evaluation(model, state, cfg, 'training', epoch_float, global_step)
+        evaluation.model_evaluation(model, state, cfg, 'validation', epoch_float, global_step)
+        evaluation.model_evaluation(model, state, cfg, 'test', epoch_float, global_step)
+
+        if epoch in save_checkpoints and not cfg.DEBUG:
+            print('saving network', flush=True)
+            checkpoints.save_checkpoint(state, epoch, global_step, cfg)
+
+
+def run_semisupervised(cfg) -> None:
+    mesh = _training_mesh(cfg)
+    print_run_config(cfg, f"{jax.default_backend()}[{mesh.size}]")
+
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(cfg.SEED))
+    step_fn = train_lib.make_train_step(model, cfg, 'semisupervised', mesh=mesh)
+    rng = jax.random.PRNGKey(cfg.SEED)
+
+    loader = _loader(cfg)
+    epochs = cfg.TRAINER.EPOCHS
+    save_checkpoints = cfg.SAVE_CHECKPOINTS
+    steps_per_epoch = len(loader)
+
+    global_step = epoch_float = 0
+    for epoch in range(1, epochs + 1):
+        print(f'Starting epoch {epoch}/{epochs}.')
+        start = timeit.default_timer()
+        sets: dict[str, list] = {k: [] for k in (
+            'fusion_loss', 'stream1_loss', 'stream2_loss',
+            'loss', 'sup_loss', 'cons_loss')}
+        n_labeled, n_notlabeled = 0.0, 0.0
+
+        for batch in prefetch_to_device(loader, sharding=batch_sharding(mesh)):
+            state, m = step_fn(state, batch['stack'], batch['is_labeled'], rng)
+            for k in sets:
+                sets[k].append(m[k])
+            n_labeled += float(m['n_labeled'])
+            n_notlabeled += float(m['n_notlabeled'])
+
+            global_step += 1
+            epoch_float = global_step / steps_per_epoch
+
+            if cfg.DEBUG:
+                break
+
+            if global_step % cfg.LOG_FREQ == 0:
+                print(f'Logging step {global_step} (epoch {epoch_float:.2f}).')
+                evaluation.model_evaluation(model, state, cfg, 'training',
+                                            epoch_float, global_step)
+                evaluation.model_evaluation(model, state, cfg, 'validation',
+                                            epoch_float, global_step)
+                time = timeit.default_timer() - start
+                wandb_compat.log({
+                    **{k: _mean(v) for k, v in sets.items()},
+                    'labeled_percentage':
+                        n_labeled / max(n_labeled + n_notlabeled, 1) * 100,
+                    'time': time,
+                    'step': global_step,
+                    'epoch': epoch_float,
+                })
+                start = timeit.default_timer()
+                sets = {k: [] for k in sets}
+                n_labeled, n_notlabeled = 0.0, 0.0
+
+        if not cfg.DEBUG:
+            assert epoch == epoch_float
+        print(f'epoch float {epoch_float} (step {global_step}) - epoch {epoch}')
+        evaluation.model_evaluation(model, state, cfg, 'training', epoch_float, global_step)
+        evaluation.model_evaluation(model, state, cfg, 'validation', epoch_float, global_step)
+        evaluation.model_evaluation(model, state, cfg, 'test', epoch_float, global_step)
+
+        # NB: checkpoint saving here is intentionally not gated on DEBUG,
+        # matching the reference (train_semisupervised.py:161-163).
+        if epoch in save_checkpoints:
+            print('saving network', flush=True)
+            checkpoints.save_checkpoint(state, epoch, global_step, cfg)
+
+
+def run_dualtask(cfg) -> None:
+    mesh = _training_mesh(cfg)
+    print_run_config(cfg, f"{jax.default_backend()}[{mesh.size}]")
+
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(cfg.SEED))
+    step_fn = train_lib.make_train_step(model, cfg, 'dualtask', mesh=mesh)
+    rng = jax.random.PRNGKey(cfg.SEED)
+
+    loader = _loader(cfg)
+    epochs = cfg.TRAINER.EPOCHS
+    save_checkpoints = cfg.SAVE_CHECKPOINTS
+    steps_per_epoch = len(loader)
+
+    global_step = epoch_float = 0
+    for epoch in range(1, epochs + 1):
+        print(f'Starting epoch {epoch}/{epochs}.')
+        start = timeit.default_timer()
+        loss_set, sem_loss_set, change_loss_set = [], [], []
+
+        for batch in prefetch_to_device(loader, sharding=batch_sharding(mesh)):
+            state, m = step_fn(state, batch['stack'], batch['is_labeled'], rng)
+            loss_set.append(m['loss'])
+            sem_loss_set.append(m['sem_loss'])
+            change_loss_set.append(m['change_loss'])
+
+            global_step += 1
+            epoch_float = global_step / steps_per_epoch
+
+            if cfg.DEBUG:
+                evaluation.model_evaluation(model, state, cfg, 'test',
+                                            epoch_float, global_step)
+                break
+
+            if global_step % cfg.LOG_FREQ == 0:
+                print(f'Logging step {global_step} (epoch {epoch_float:.2f}).')
+                evaluation.model_evaluation(model, state, cfg, 'training',
+                                            epoch_float, global_step)
+                evaluation.model_evaluation(model, state, cfg, 'validation',
+                                            epoch_float, global_step)
+                time = timeit.default_timer() - start
+                wandb_compat.log({
+                    'change_loss': _mean(change_loss_set),
+                    'sem_loss': _mean(sem_loss_set),
+                    'loss': _mean(loss_set),
+                    'labeled_percentage': 100,
+                    'time': time,
+                    'step': global_step,
+                    'epoch': epoch_float,
+                })
+                start = timeit.default_timer()
+                loss_set, sem_loss_set, change_loss_set = [], [], []
+
+        if not cfg.DEBUG:
+            assert epoch == epoch_float
+        print(f'epoch float {epoch_float} (step {global_step}) - epoch {epoch}')
+        evaluation.model_evaluation(model, state, cfg, 'training', epoch_float, global_step)
+        evaluation.model_evaluation(model, state, cfg, 'validation', epoch_float, global_step)
+        evaluation.model_evaluation(model, state, cfg, 'test', epoch_float, global_step)
+
+        if epoch in save_checkpoints and not cfg.DEBUG:
+            print('saving network', flush=True)
+            checkpoints.save_checkpoint(state, epoch, global_step, cfg)
+
+
+def seed_everything(seed: int) -> None:
+    """Host-side determinism (reference train_supervised.py:124-127; device
+    determinism comes from explicit JAX PRNG keys by construction)."""
+    np.random.seed(seed)

@@ -1,0 +1,40 @@
+"""Visual dataset spot-check CLI.
+
+Rebuilds the reference sanity_check.py working: it referenced a
+nonexistent ``SpaceNet7S1S2Dataset`` and ``split_item_x`` (reference
+sanity_check.py:12,16 — SURVEY defect 3). Writes PNG panels of S2/S1
+imagery at both timestamps plus the change label for a few samples.
+"""
+
+from pathlib import Path
+
+from multimodal_siamese_cd_tpu import experiment_manager, visualization
+from multimodal_siamese_cd_tpu.data.dataset import MultimodalCDDataset
+
+
+def sanity_check_dataset(config_name: str, run_type: str = 'training',
+                         n_samples: int = 5, out_dir: str = 'sanity_checks'):
+    cfg = experiment_manager.load_cfg(config_name)
+    ds = MultimodalCDDataset(cfg, run_type, no_augmentations=False,
+                             disable_multiplier=True)
+    n_s1 = len(cfg.DATALOADER.S1_BANDS)
+    files = []
+    for index in range(min(n_samples + 1, len(ds))):
+        item = ds[index]
+        s2_t1 = item['x_t1'][:, :, n_s1:]
+        s2_t2 = item['x_t2'][:, :, n_s1:]
+        panels = [
+            [visualization.to_uint8(s2_t1[:, :, :3], 0, 0.3),
+             visualization.to_uint8(s2_t2[:, :, :3], 0, 0.3),
+             visualization.gray_rgb(item['y_change'])],
+            [visualization.sar_gray(item['x_t1'], 0),
+             visualization.sar_gray(item['x_t2'], 0)],
+        ]
+        out_file = Path(out_dir) / f"{config_name}_{run_type}_{index}.png"
+        files.append(visualization.save_figure(out_file, panels))
+        print(f"wrote {files[-1]}")
+    return files
+
+
+if __name__ == '__main__':
+    sanity_check_dataset('debug')

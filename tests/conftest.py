@@ -7,12 +7,21 @@ imported anywhere, so sharding/mesh tests run without TPU hardware
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the virtual 8-device CPU backend. The host environment pins
+# JAX_PLATFORMS=axon (TPU tunnel) and its sitecustomize.py imports jax at
+# interpreter startup, so env vars alone are read too late —
+# jax.config.update after import is what actually takes effect. XLA_FLAGS is
+# read lazily at CPU-client creation, so setting it here still works.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 from pathlib import Path
