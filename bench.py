@@ -8,11 +8,15 @@ SiameseUNet [64, 128, 256, 512]. The PyTorch reference measured under the
 same definition by tools/bench_reference.py provides ``vs_baseline``
 (see BASELINE.md for the recorded number and caveats).
 
+Timing methodology: K optimizer steps are fused into one dispatch with
+``lax.scan`` (train_lib.make_scanned_train_step) and every timed window is
+closed by fetching the loss to host — on the remote-tunneled TPU platform
+``block_until_ready`` resolves before execution finishes, so a host fetch
+is the only honest synchronization point; the scan also amortizes the
+~ms-scale tunnel dispatch latency the same way a production trainer would.
+
 Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "patches/sec/chip", "vs_baseline": N}``
-
-Flags: ``--model`` ``--batch-size`` ``--steps`` ``--crop`` ``--precision``
-``--regime`` for exploration; defaults match the headline definition.
 """
 
 import argparse
@@ -25,19 +29,20 @@ import numpy as np
 
 from multimodal_siamese_cd_tpu import train_lib
 from multimodal_siamese_cd_tpu.config import load_cfg
-from multimodal_siamese_cd_tpu.parallel import batch_sharding, data_mesh
+from multimodal_siamese_cd_tpu.parallel import data_mesh
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 # PyTorch reference throughput under the identical step definition,
 # measured by tools/bench_reference.py on this host (see BASELINE.md).
-TORCH_REFERENCE_PATCHES_PER_SEC = 2.2
+TORCH_REFERENCE_PATCHES_PER_SEC = 0.177
 
 
-def build_batch(batch_size: int, crop: int, rng: np.random.Generator):
+def build_batches(k: int, batch_size: int, crop: int, rng: np.random.Generator):
     # stack layout: 12 imagery channels (2x2 S1 + 2x4 S2) + 2 buildings + 1 change
-    stack = rng.uniform(0, 1, size=(batch_size, crop, crop, 15)).astype(np.float32)
-    stack[..., 12:] = (stack[..., 12:] > 0.8).astype(np.float32)
-    is_labeled = np.ones((batch_size,), np.float32)
-    return stack, is_labeled
+    stacks = rng.uniform(0, 1, size=(k, batch_size, crop, crop, 15)).astype(np.float32)
+    stacks[..., 12:] = (stacks[..., 12:] > 0.8).astype(np.float32)
+    is_labeled = np.ones((k, batch_size), np.float32)
+    return stacks, is_labeled
 
 
 def main() -> int:
@@ -45,8 +50,9 @@ def main() -> int:
     p.add_argument("--model", default="siameseunet")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--crop", type=int, default=256)
-    p.add_argument("--steps", type=int, default=50)
-    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--steps-per-call", type=int, default=10)
+    p.add_argument("--calls", type=int, default=5)
+    p.add_argument("--warmup-calls", type=int, default=2)
     p.add_argument("--precision", default="bf16")
     p.add_argument("--regime", default="supervised")
     args = p.parse_args()
@@ -64,25 +70,28 @@ def main() -> int:
     mesh = data_mesh() if batch_size % n_chips == 0 else data_mesh(jax.devices()[:1])
 
     model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
-    step_fn = train_lib.make_train_step(model, cfg, args.regime, mesh=mesh)
+    step_fn = train_lib.make_scanned_train_step(model, cfg, args.regime, mesh=mesh)
     rng = jax.random.PRNGKey(7)
 
     host = np.random.default_rng(0)
-    stack, is_labeled = build_batch(batch_size, args.crop, host)
-    stack = jax.device_put(stack, batch_sharding(mesh))
+    k = args.steps_per_call
+    stacks, is_labeled = build_batches(k, batch_size, args.crop, host)
+    stacks = jax.device_put(
+        stacks, NamedSharding(mesh, P(None, "data" if mesh.size > 1 else None)))
     is_labeled = jax.device_put(is_labeled)
 
-    for _ in range(args.warmup):
-        state, m = step_fn(state, stack, is_labeled, rng)
-    jax.block_until_ready(m["loss"])
+    for _ in range(args.warmup_calls):
+        state, m = step_fn(state, stacks, is_labeled, rng)
+    float(m["loss"])  # host fetch = true synchronization
 
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, m = step_fn(state, stack, is_labeled, rng)
-    jax.block_until_ready(m["loss"])
+    for _ in range(args.calls):
+        state, m = step_fn(state, stacks, is_labeled, rng)
+        loss = float(m["loss"])
     dt = time.perf_counter() - t0
 
-    patches_per_sec = batch_size * args.steps / dt
+    n_steps = args.calls * k
+    patches_per_sec = batch_size * n_steps / dt
     per_chip = patches_per_sec / mesh.size
     result = {
         "metric": "train_patches_per_sec_per_chip",
@@ -93,8 +102,9 @@ def main() -> int:
     print(json.dumps(result))
     print(f"# model={args.model} regime={args.regime} batch={batch_size} "
           f"crop={args.crop} precision={args.precision} chips={mesh.size} "
-          f"backend={jax.default_backend()} steps={args.steps} "
-          f"total={patches_per_sec:.1f} patches/s step={dt / args.steps * 1e3:.2f} ms",
+          f"backend={jax.default_backend()} steps={n_steps} "
+          f"(scan {k}/call) total={patches_per_sec:.1f} patches/s "
+          f"step={dt / n_steps * 1e3:.2f} ms loss={loss:.4f}",
           file=sys.stderr)
     return 0
 

@@ -118,11 +118,19 @@ def _apply_train(model, params, batch_stats, x_t1, x_t2, rng):
 # Train steps
 # --------------------------------------------------------------------------
 
-def _jit_step(fn, mesh):
+def _jit_step(fn, mesh, batch_ndim: int = 1):
+    """Jit a step body with data-parallel shardings. ``batch_ndim`` 1 shards
+    the leading axis of stack/is_labeled; 2 shards their second axis (the
+    scanned multi-batch layout (K, B, ...))."""
     if mesh is None:
         return jax.jit(fn, donate_argnums=(0,))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .parallel.mesh import DATA_AXIS
+
     rep = replicated_sharding(mesh)
-    bsh = batch_sharding(mesh)
+    spec = P(DATA_AXIS) if batch_ndim == 1 else P(None, DATA_AXIS)
+    bsh = NamedSharding(mesh, spec)
     return jax.jit(
         fn, donate_argnums=(0,),
         in_shardings=(rep, bsh, bsh, rep),
@@ -130,7 +138,7 @@ def _jit_step(fn, mesh):
     )
 
 
-def make_supervised_train_step(model, cfg, mesh=None) -> Callable:
+def make_supervised_train_step(model, cfg, mesh=None, jit: bool = True) -> Callable:
     """Supervised change-detection step (reference train_supervised.py:63-77):
     ``loss = criterion(logits, y_change)``; single-head models only."""
     criterion = losses.get_criterion(cfg.MODEL.LOSS_TYPE)
@@ -152,10 +160,10 @@ def make_supervised_train_step(model, cfg, mesh=None) -> Callable:
         state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         return state, {"loss": loss}
 
-    return _jit_step(step, mesh)
+    return _jit_step(step, mesh) if jit else step
 
 
-def make_semisupervised_train_step(model, cfg, mesh=None) -> Callable:
+def make_semisupervised_train_step(model, cfg, mesh=None, jit: bool = True) -> Callable:
     """Cross-modal consistency step (reference train_semisupervised.py:66-118).
 
     sup = mean(fusion, stream1, stream2 losses on labeled rows) * α
@@ -218,10 +226,10 @@ def make_semisupervised_train_step(model, cfg, mesh=None) -> Callable:
         state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         return state, aux
 
-    return _jit_step(step, mesh)
+    return _jit_step(step, mesh) if jit else step
 
 
-def make_dualtask_train_step(model, cfg, mesh=None) -> Callable:
+def make_dualtask_train_step(model, cfg, mesh=None, jit: bool = True) -> Callable:
     """Dual-task step (intended semantics of the reference's stale
     train_supervised_dualtask.py:64-92, rebuilt working):
     ``loss = (change_loss + (sem_t1_loss + sem_t2_loss) / 2) / 2``."""
@@ -251,17 +259,44 @@ def make_dualtask_train_step(model, cfg, mesh=None) -> Callable:
         state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         return state, aux
 
-    return _jit_step(step, mesh)
+    return _jit_step(step, mesh) if jit else step
 
 
-def make_train_step(model, cfg, regime: str, mesh=None) -> Callable:
+def make_train_step(model, cfg, regime: str, mesh=None, jit: bool = True) -> Callable:
     if regime == "supervised":
-        return make_supervised_train_step(model, cfg, mesh)
+        return make_supervised_train_step(model, cfg, mesh, jit)
     if regime == "semisupervised":
-        return make_semisupervised_train_step(model, cfg, mesh)
+        return make_semisupervised_train_step(model, cfg, mesh, jit)
     if regime == "dualtask":
-        return make_dualtask_train_step(model, cfg, mesh)
+        return make_dualtask_train_step(model, cfg, mesh, jit)
     raise ValueError(f"unknown training regime {regime!r}")
+
+
+def make_scanned_train_step(model, cfg, regime: str, mesh=None) -> Callable:
+    """K optimizer steps fused into ONE jitted dispatch via ``lax.scan``.
+
+    Takes ``(state, stacks, is_labeled, rng)`` where ``stacks`` is
+    (K, B, S, S, C) — K independent batches — and ``is_labeled`` is (K, B);
+    runs K full steps (each with its own augmentation randomness, since the
+    per-step fold_in uses the incrementing ``state.step``) and returns
+    ``(state, metrics)`` with metrics averaged over the window.
+
+    This amortizes host->device dispatch across K steps: the trainer's
+    log-window arithmetic is unchanged because it already averages metrics
+    between log points. Batches are sharded over the mesh on axis 1.
+    """
+    body = make_train_step(model, cfg, regime, mesh=None, jit=False)
+
+    def multi_step(state, stacks, is_labeled, rng):
+        def f(s, xs):
+            stack, lab = xs
+            return body(s, stack, lab, rng)
+
+        state, metrics = jax.lax.scan(f, state, (stacks, is_labeled))
+        return state, jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0),
+                                             metrics)
+
+    return _jit_step(multi_step, mesh, batch_ndim=2)
 
 
 # --------------------------------------------------------------------------
