@@ -233,6 +233,27 @@ def test_device_augment_distributions():
     assert out2.min() >= 0.0 and out2.max() <= 1.0
 
 
+def test_device_augment_dihedral_membership():
+    """Every augmented sample must be one of the 8 dihedral transforms of
+    its input (flips ∘ rot90^k closure)."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(16, 8, 8, 3)).astype(np.float32)
+    out = np.asarray(aug.device_augment_batch(
+        x, jax.random.PRNGKey(3), flip=True, rotate=True,
+        color_shift=False, gamma=False, n_img_channels=3))
+
+    def dihedral(m):
+        for k in range(4):
+            r = np.rot90(m, k, axes=(0, 1))
+            yield r
+            yield np.flip(r, axis=1)
+
+    for b in range(16):
+        assert any(np.allclose(out[b], d) for d in dihedral(x[b]))
+
+
 def test_device_rot90_matches_numpy():
     import jax
 
