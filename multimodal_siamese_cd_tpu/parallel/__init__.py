@@ -1,5 +1,6 @@
 """Device mesh + sharding utilities (the DataParallel/NCCL replacement)."""
 
+from .distributed import maybe_initialize_distributed, process_shard  # noqa: F401
 from .mesh import (  # noqa: F401
     batch_sharding,
     data_mesh,

@@ -25,7 +25,7 @@ import numpy as np
 from . import checkpoints, evaluation, train_lib, wandb_compat
 from .data.dataset import MultimodalCDDataset
 from .data.loader import TrainLoader, prefetch_to_device
-from .parallel import batch_sharding, data_mesh
+from .parallel import batch_sharding, data_mesh, maybe_initialize_distributed
 
 
 def print_run_config(cfg, device_desc: str) -> None:
@@ -46,12 +46,54 @@ def print_run_config(cfg, device_desc: str) -> None:
 
 
 def _training_mesh(cfg):
+    maybe_initialize_distributed()
     mesh = data_mesh()
     if cfg.TRAINER.BATCH_SIZE % mesh.size != 0:
         print(f"warning: batch {cfg.TRAINER.BATCH_SIZE} not divisible by "
               f"{mesh.size} devices; running single-device")
         mesh = data_mesh(jax.devices()[:1])
     return mesh
+
+
+def _create_or_resume(cfg):
+    """Build the train state, optionally restoring a checkpoint when
+    ``TRAINER.RESUME_CHECKPOINT`` names an epoch (new capability; the
+    reference cannot resume mid-run — SURVEY §5 failure-detection row).
+    Returns (model, state, start_step)."""
+    resume = cfg.TRAINER.get('RESUME_CHECKPOINT', None)
+    if resume is not None and resume != '':
+        model, state, step = checkpoints.load_checkpoint(resume, cfg)
+        print(f'resumed from checkpoint epoch {resume} (step {step})')
+        return model, state, int(step)
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(cfg.SEED))
+    return model, state, 0
+
+
+class ProfilerHook:
+    """Optional jax.profiler trace over a step window (SURVEY §5 tracing
+    row): set ``TRAINER.PROFILE_DIR`` to capture steps [10, 30)."""
+
+    START_STEP, STOP_STEP = 10, 30
+
+    def __init__(self, cfg):
+        self.dir = cfg.TRAINER.get('PROFILE_DIR', None)
+        self.active = False
+
+    def step(self, global_step: int) -> None:
+        if not self.dir:
+            return
+        if not self.active and global_step == self.START_STEP:
+            jax.profiler.start_trace(str(self.dir))
+            self.active = True
+        elif self.active and global_step >= self.STOP_STEP:
+            jax.profiler.stop_trace()
+            self.active = False
+            self.dir = None
+
+    def close(self) -> None:
+        if self.active:
+            jax.profiler.stop_trace()
+            self.active = False
 
 
 def _loader(cfg) -> TrainLoader:
@@ -75,7 +117,8 @@ def run_supervised(cfg) -> None:
     mesh = _training_mesh(cfg)
     print_run_config(cfg, f"{jax.default_backend()}[{mesh.size}]")
 
-    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(cfg.SEED))
+    model, state, start_step = _create_or_resume(cfg)
+    profiler = ProfilerHook(cfg)
     step_fn = train_lib.make_train_step(model, cfg, 'supervised', mesh=mesh)
     rng = jax.random.PRNGKey(cfg.SEED)
 
@@ -84,7 +127,7 @@ def run_supervised(cfg) -> None:
     save_checkpoints = cfg.SAVE_CHECKPOINTS
     steps_per_epoch = len(loader)
 
-    global_step = epoch_float = 0
+    global_step, epoch_float = start_step, 0
     for epoch in range(1, epochs + 1):
         print(f'Starting epoch {epoch}/{epochs}.')
         start = timeit.default_timer()
@@ -95,6 +138,7 @@ def run_supervised(cfg) -> None:
             loss_set.append(m['loss'])
 
             global_step += 1
+            profiler.step(global_step)
             epoch_float = global_step / steps_per_epoch
 
             if cfg.DEBUG:
@@ -119,7 +163,7 @@ def run_supervised(cfg) -> None:
                 start = timeit.default_timer()
                 loss_set = []
 
-        if not cfg.DEBUG:
+        if not cfg.DEBUG and start_step == 0:
             assert epoch == epoch_float
         print(f'epoch float {epoch_float} (step {global_step}) - epoch {epoch}')
         evaluation.model_evaluation(model, state, cfg, 'training', epoch_float, global_step)
@@ -130,12 +174,15 @@ def run_supervised(cfg) -> None:
             print('saving network', flush=True)
             checkpoints.save_checkpoint(state, epoch, global_step, cfg)
 
+    profiler.close()
+
 
 def run_semisupervised(cfg) -> None:
     mesh = _training_mesh(cfg)
     print_run_config(cfg, f"{jax.default_backend()}[{mesh.size}]")
 
-    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(cfg.SEED))
+    model, state, start_step = _create_or_resume(cfg)
+    profiler = ProfilerHook(cfg)
     step_fn = train_lib.make_train_step(model, cfg, 'semisupervised', mesh=mesh)
     rng = jax.random.PRNGKey(cfg.SEED)
 
@@ -144,7 +191,7 @@ def run_semisupervised(cfg) -> None:
     save_checkpoints = cfg.SAVE_CHECKPOINTS
     steps_per_epoch = len(loader)
 
-    global_step = epoch_float = 0
+    global_step, epoch_float = start_step, 0
     for epoch in range(1, epochs + 1):
         print(f'Starting epoch {epoch}/{epochs}.')
         start = timeit.default_timer()
@@ -161,6 +208,7 @@ def run_semisupervised(cfg) -> None:
             n_notlabeled += float(m['n_notlabeled'])
 
             global_step += 1
+            profiler.step(global_step)
             epoch_float = global_step / steps_per_epoch
 
             if cfg.DEBUG:
@@ -185,7 +233,7 @@ def run_semisupervised(cfg) -> None:
                 sets = {k: [] for k in sets}
                 n_labeled, n_notlabeled = 0.0, 0.0
 
-        if not cfg.DEBUG:
+        if not cfg.DEBUG and start_step == 0:
             assert epoch == epoch_float
         print(f'epoch float {epoch_float} (step {global_step}) - epoch {epoch}')
         evaluation.model_evaluation(model, state, cfg, 'training', epoch_float, global_step)
@@ -198,12 +246,15 @@ def run_semisupervised(cfg) -> None:
             print('saving network', flush=True)
             checkpoints.save_checkpoint(state, epoch, global_step, cfg)
 
+    profiler.close()
+
 
 def run_dualtask(cfg) -> None:
     mesh = _training_mesh(cfg)
     print_run_config(cfg, f"{jax.default_backend()}[{mesh.size}]")
 
-    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(cfg.SEED))
+    model, state, start_step = _create_or_resume(cfg)
+    profiler = ProfilerHook(cfg)
     step_fn = train_lib.make_train_step(model, cfg, 'dualtask', mesh=mesh)
     rng = jax.random.PRNGKey(cfg.SEED)
 
@@ -212,7 +263,7 @@ def run_dualtask(cfg) -> None:
     save_checkpoints = cfg.SAVE_CHECKPOINTS
     steps_per_epoch = len(loader)
 
-    global_step = epoch_float = 0
+    global_step, epoch_float = start_step, 0
     for epoch in range(1, epochs + 1):
         print(f'Starting epoch {epoch}/{epochs}.')
         start = timeit.default_timer()
@@ -225,6 +276,7 @@ def run_dualtask(cfg) -> None:
             change_loss_set.append(m['change_loss'])
 
             global_step += 1
+            profiler.step(global_step)
             epoch_float = global_step / steps_per_epoch
 
             if cfg.DEBUG:
@@ -251,7 +303,7 @@ def run_dualtask(cfg) -> None:
                 start = timeit.default_timer()
                 loss_set, sem_loss_set, change_loss_set = [], [], []
 
-        if not cfg.DEBUG:
+        if not cfg.DEBUG and start_step == 0:
             assert epoch == epoch_float
         print(f'epoch float {epoch_float} (step {global_step}) - epoch {epoch}')
         evaluation.model_evaluation(model, state, cfg, 'training', epoch_float, global_step)
@@ -261,6 +313,8 @@ def run_dualtask(cfg) -> None:
         if epoch in save_checkpoints and not cfg.DEBUG:
             print('saving network', flush=True)
             checkpoints.save_checkpoint(state, epoch, global_step, cfg)
+
+    profiler.close()
 
 
 def seed_everything(seed: int) -> None:
