@@ -88,6 +88,31 @@ class EnsureFloat32:
         return tuple(np.ascontiguousarray(a, dtype=np.float32) for a in args)
 
 
+def choose_crop_offset(label2d, height: int, width: int, crop_size: int,
+                       rng: np.random.Generator, importance: bool) -> tuple[int, int]:
+    """Pick a crop origin: uniform, or importance-weighted by change-label
+    window sums (reference augmentations.py:107-142 semantics) computed from
+    one integral image. ``label2d`` may be any integer/float 2-D array (or
+    None for uniform). This is the loader's crop-first fast path: candidate
+    scoring touches only the label plane, never the imagery."""
+    limit_y = max(1, height - crop_size)
+    limit_x = max(1, width - crop_size)
+    if not importance or label2d is None:
+        return int(rng.integers(0, limit_y)), int(rng.integers(0, limit_x))
+    ys = rng.integers(0, limit_y, size=IMPORTANCE_SAMPLE_SIZE)
+    xs = rng.integers(0, limit_x, size=IMPORTANCE_SAMPLE_SIZE)
+    s = min(crop_size, height, width)
+    # Direct window counts beat an integral image for 20 candidates: 20
+    # SIMD count_nonzero passes over 256² bools ≈ 1.3 MB touched, vs two
+    # full-scene cumsum passes (the profiled hot spot).
+    sums = np.array([np.count_nonzero(label2d[y:y + s, x:x + s])
+                     for y, x in zip(ys, xs)], np.float64)
+    weights = sums + IMPORTANCE_BALANCING
+    weights /= weights.sum()
+    idx = rng.choice(IMPORTANCE_SAMPLE_SIZE, p=weights)
+    return int(ys[idx]), int(xs[idx])
+
+
 class UniformCrop:
     """Random crop of all three tuple members (reference augmentations.py:107-126)."""
 

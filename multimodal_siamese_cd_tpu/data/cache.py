@@ -120,6 +120,26 @@ class SceneCache:
         scene = np.asarray(arr[index[(year, month)]], dtype=np.float32)
         return scene if scene.ndim == 3 else scene[:, :, None]
 
+    def load_raw(self, aoi_id: str, modality: str, year: int, month: int) -> np.ndarray:
+        """Memmap-backed scene in its storage dtype (no conversion) — the
+        hot-path accessor: callers slice a window first and convert only the
+        crop (full-scene float32 materialization was the loader bottleneck)."""
+        if not self.enabled:
+            img = self._decode(aoi_id, modality, year, month)
+            return img if img.ndim == 3 else img[:, :, None]
+        arr, index = self._load_packed(aoi_id, modality)
+        scene = arr[index[(year, month)]]
+        return scene if scene.ndim == 3 else scene[..., None]
+
+    def load_window(self, aoi_id: str, modality: str, year: int, month: int,
+                    y0: int, x0: int, size: int) -> np.ndarray:
+        """float32 crop (size, size, C) — converts only the window."""
+        raw = self.load_raw(aoi_id, modality, year, month)
+        return np.asarray(raw[y0:y0 + size, x0:x0 + size], dtype=np.float32)
+
+    def scene_shape(self, aoi_id: str, modality: str, year: int, month: int) -> tuple:
+        return self.load_raw(aoi_id, modality, year, month).shape
+
     @classmethod
     def from_cfg(cls, cfg, metadata: dict) -> "SceneCache":
         dl = cfg.DATALOADER

@@ -122,6 +122,13 @@ class MultimodalCDDataset:
         timestamps = self._eligible_timestamps(aoi_id, labeled)
         (year_t1, month_t1), (year_t2, month_t2) = self._pick_pair(timestamps, rng)
 
+        if not self.no_augmentations:
+            # Crop-first fast path: choose the crop from the (cheap, uint8)
+            # label plane, then slice+convert only 256² windows out of the
+            # memmapped scenes — never materializing full float32 scenes.
+            return self._get_cropped(aoi_id, labeled, year_t1, month_t1,
+                                     year_t2, month_t2, rng, transform)
+
         img_s1_t1 = self.cache.load(aoi_id, 's1', year_t1, month_t1)
         img_s2_t1 = self.cache.load(aoi_id, 's2', year_t1, month_t1)
         img_s1_t2 = self.cache.load(aoi_id, 's1', year_t2, month_t2)
@@ -180,6 +187,100 @@ class MultimodalCDDataset:
             'month_t1': month_t1,
             'year_t2': year_t2,
             'month_t2': month_t2,
+            'is_labeled': labeled,
+        }
+        if self.include_building_labels:
+            item['y_sem_t1'] = np.ascontiguousarray(buildings[..., :1])
+            item['y_sem_t2'] = np.ascontiguousarray(buildings[..., 1:])
+        return item
+
+    def _get_cropped(self, aoi_id, labeled, year_t1, month_t1, year_t2,
+                     month_t2, rng, transform) -> dict:
+        """Training-path item assembly via windowed cache reads."""
+        crop = self.cfg.AUGMENTATION.CROP_SIZE
+        importance = self.cfg.AUGMENTATION.IMAGE_OVERSAMPLING_TYPE != 'none'
+
+        if labeled:
+            b1 = self.cache.load_raw(aoi_id, 'buildings', year_t1, month_t1)
+            b2 = self.cache.load_raw(aoi_id, 'buildings', year_t2, month_t2)
+            # construction-only change t1==0 ∧ t2==1 over {0,1} rasters is
+            # exactly b2 > b1 — one vectorized pass
+            change_full = (b2 > b1)[..., 0]
+            h, w = change_full.shape
+            label_plane = change_full
+        else:
+            h, w, _ = self.cache.scene_shape(aoi_id, 's1', year_t1, month_t1)
+            change_full = None
+            label_plane = None
+
+        y0, x0 = augmentations.choose_crop_offset(
+            label_plane, h, w, crop, rng, importance)
+        s = min(crop, h, w)
+        n_s1 = len(self.s1_band_indices)
+        n_s2 = len(self.s2_band_indices)
+        n_img = 2 * n_s1 + 2 * n_s2
+
+        def raw_win(modality, year, month):
+            return self.cache.load_raw(aoi_id, modality, year, month)[
+                y0:y0 + s, x0:x0 + s]
+
+        # Assemble the joint stack straight into one float32 buffer —
+        # each slot assignment converts the windowed storage-dtype view in
+        # place (no intermediate full-precision arrays or concats).
+        stack = np.zeros((s, s, n_img + 3), np.float32)
+        stack[..., :n_s1] = raw_win('s1', year_t1, month_t1)
+        stack[..., n_s1:2 * n_s1] = raw_win('s1', year_t2, month_t2)
+        stack[..., 2 * n_s1:2 * n_s1 + n_s2] = raw_win('s2', year_t1, month_t1)
+        stack[..., 2 * n_s1 + n_s2:n_img] = raw_win('s2', year_t2, month_t2)
+        if labeled:
+            if self.include_building_labels:
+                stack[..., n_img:n_img + 1] = b1[y0:y0 + s, x0:x0 + s]
+                stack[..., n_img + 1:n_img + 2] = b2[y0:y0 + s, x0:x0 + s]
+            stack[..., n_img + 2] = change_full[y0:y0 + s, x0:x0 + s]
+
+        # Remaining (post-crop) transforms: identity for crop_only; host
+        # flips/rot/photometric otherwise (cheap on 256² crops).
+        if not self.crop_only:
+            post = augmentations.Compose(
+                [t for t in transform.transforms
+                 if not isinstance(t, augmentations.UniformCrop)])
+            imgs, buildings, change = post(
+                (stack[..., :n_img], stack[..., n_img:n_img + 2],
+                 stack[..., n_img + 2:]))
+            stack = np.concatenate((imgs, buildings, change), axis=-1)
+
+        if self.return_stack:
+            return {
+                'stack': np.ascontiguousarray(stack),
+                'aoi_id': aoi_id,
+                'year_t1': year_t1, 'month_t1': month_t1,
+                'year_t2': year_t2, 'month_t2': month_t2,
+                'is_labeled': labeled,
+            }
+        imgs = stack[..., :n_img]
+        buildings = stack[..., n_img:n_img + 2]
+        change = stack[..., n_img + 2:]
+
+        n_s1 = len(self.s1_band_indices)
+        n_s2 = len(self.s2_band_indices)
+        img_s1_t1, img_s1_t2 = imgs[..., :n_s1], imgs[..., n_s1:2 * n_s1]
+        img_s2_t1 = imgs[..., 2 * n_s1:2 * n_s1 + n_s2]
+        img_s2_t2 = imgs[..., 2 * n_s1 + n_s2:]
+        mode = self.cfg.DATALOADER.INPUT_MODE
+        if mode == 's1':
+            x_t1, x_t2 = img_s1_t1, img_s1_t2
+        elif mode == 's2':
+            x_t1, x_t2 = img_s2_t1, img_s2_t2
+        else:
+            x_t1 = np.concatenate((img_s1_t1, img_s2_t1), axis=-1)
+            x_t2 = np.concatenate((img_s1_t2, img_s2_t2), axis=-1)
+        item = {
+            'x_t1': np.ascontiguousarray(x_t1),
+            'x_t2': np.ascontiguousarray(x_t2),
+            'y_change': np.ascontiguousarray(change),
+            'aoi_id': aoi_id,
+            'year_t1': year_t1, 'month_t1': month_t1,
+            'year_t2': year_t2, 'month_t2': month_t2,
             'is_labeled': labeled,
         }
         if self.include_building_labels:

@@ -54,11 +54,16 @@ class TrainLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 2,
                  prefetch: int = 4, seed: int = 0):
+        import os
+
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
-        self.num_workers = max(0, int(num_workers))
+        # More threads than cores only adds GIL thrash (this image's TPU VM
+        # exposes a single core); one producer thread still overlaps host
+        # work with device execution.
+        self.num_workers = min(max(0, int(num_workers)), os.cpu_count() or 1)
         self.prefetch = max(1, prefetch)
         self.seed = seed
         self._epoch = 0
