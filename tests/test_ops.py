@@ -42,3 +42,22 @@ def test_dispatcher_fallback_on_cpu():
     y_prob = np.array([0.9, 0.9, 0.1, 0.1], np.float32)
     tp, tn, fp, fn = confusion_counts(y_true, y_prob, np.array([0.5]))
     assert (float(tp[0]), float(tn[0]), float(fp[0]), float(fn[0])) == (1, 1, 1, 1)
+
+
+def test_pallas_conv3x3_matches_lax_conv():
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_siamese_cd_tpu.ops.conv3x3 import (
+        conv3x3_pallas,
+        conv3x3_reference,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(2, 32, 64, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 128, 16)) * 0.05, jnp.float32)
+    got = conv3x3_pallas(x, w, tile_rows=16, interpret=True)
+    want = conv3x3_reference(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
+    diff = np.abs(np.asarray(got, np.float32)
+                  - np.asarray(want, np.float32)).max()
+    assert diff < 0.05, diff
