@@ -140,6 +140,16 @@ class SceneCache:
     def scene_shape(self, aoi_id: str, modality: str, year: int, month: int) -> tuple:
         return self.load_raw(aoi_id, modality, year, month).shape
 
+    # Open memmaps are not picklable; drop them so datasets can cross
+    # process boundaries (process-pool loader workers re-open lazily).
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_open"] = {}
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
     @classmethod
     def from_cfg(cls, cfg, metadata: dict) -> "SceneCache":
         dl = cfg.DATALOADER

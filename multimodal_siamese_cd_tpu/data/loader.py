@@ -53,7 +53,8 @@ class TrainLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 2,
-                 prefetch: int = 4, seed: int = 0):
+                 prefetch: int = 4, seed: int = 0,
+                 worker_type: str = "thread"):
         import os
 
         self.dataset = dataset
@@ -62,11 +63,16 @@ class TrainLoader:
         self.drop_last = drop_last
         # More threads than cores only adds GIL thrash (this image's TPU VM
         # exposes a single core); one producer thread still overlaps host
-        # work with device execution.
+        # work with device execution. Process workers sidestep the GIL on
+        # multi-core hosts at the cost of pickling batches back.
         self.num_workers = min(max(0, int(num_workers)), os.cpu_count() or 1)
         self.prefetch = max(1, prefetch)
         self.seed = seed
+        self.worker_type = worker_type
+        if worker_type not in ("thread", "process"):
+            raise ValueError(f"worker_type must be thread|process, got {worker_type!r}")
         self._epoch = 0
+        self._proc_pool = None
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -90,6 +96,24 @@ class TrainLoader:
         return collate([self.dataset.get(int(i), rng)
                         for i, rng in zip(indices, rngs)])
 
+    def _pool(self):
+        if self.worker_type == "thread":
+            return ThreadPoolExecutor(max_workers=self.num_workers), \
+                lambda e, b, idx: (self._build_batch, e, b, idx)
+        # Process pool: create once (fork is expensive), init each worker
+        # with the dataset a single time instead of pickling it per task.
+        if self._proc_pool is None:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            ctx = mp.get_context("fork") if "fork" in mp.get_all_start_methods() \
+                else mp.get_context()
+            self._proc_pool = ProcessPoolExecutor(
+                max_workers=self.num_workers, mp_context=ctx,
+                initializer=_init_proc_worker,
+                initargs=(self.dataset, self.seed))
+        return self._proc_pool, lambda e, b, idx: (_build_batch_in_worker, e, b, idx)
+
     def __iter__(self) -> Iterator[dict]:
         epoch = self._epoch
         self._epoch += 1
@@ -99,21 +123,47 @@ class TrainLoader:
                 yield self._build_batch(epoch, b, idxs)
             return
 
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+        pool, make_task = self._pool()
+        try:
             window = self.num_workers + self.prefetch
             futures = []
             submitted = 0
             for _ in range(min(window, len(batches))):
-                futures.append(pool.submit(self._build_batch, epoch,
-                                           submitted, batches[submitted]))
+                futures.append(pool.submit(*make_task(epoch, submitted,
+                                                      batches[submitted])))
                 submitted += 1
             for done in range(len(batches)):
                 batch = futures[done].result()
                 if submitted < len(batches):
-                    futures.append(pool.submit(self._build_batch, epoch,
-                                               submitted, batches[submitted]))
+                    futures.append(pool.submit(*make_task(epoch, submitted,
+                                                          batches[submitted])))
                     submitted += 1
                 yield batch
+        finally:
+            if self.worker_type == "thread":
+                pool.shutdown(wait=False)
+
+    def close(self) -> None:
+        if self._proc_pool is not None:
+            self._proc_pool.shutdown(wait=False)
+            self._proc_pool = None
+
+
+# --- process-pool worker plumbing (module-level for picklability) -----------
+
+_WORKER_STATE: dict = {}
+
+
+def _init_proc_worker(dataset, seed) -> None:
+    _WORKER_STATE["dataset"] = dataset
+    _WORKER_STATE["seed"] = seed
+
+
+def _build_batch_in_worker(epoch: int, batch_idx: int, indices) -> dict:
+    ds = _WORKER_STATE["dataset"]
+    ss = np.random.SeedSequence([_WORKER_STATE["seed"], epoch, batch_idx])
+    rngs = [np.random.default_rng(c) for c in ss.spawn(len(indices))]
+    return collate([ds.get(int(i), rng) for i, rng in zip(indices, rngs)])
 
 
 def prefetch_to_device(iterator: Iterable[dict], size: int = 2,

@@ -106,6 +106,7 @@ def _loader(cfg) -> TrainLoader:
         drop_last=True,
         num_workers=0 if cfg.DEBUG else cfg.DATALOADER.NUM_WORKER,
         seed=cfg.SEED,
+        worker_type=cfg.DATALOADER.get('WORKER_TYPE', 'thread'),
     )
 
 

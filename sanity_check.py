@@ -4,17 +4,25 @@ Rebuilds the reference sanity_check.py working: it referenced a
 nonexistent ``SpaceNet7S1S2Dataset`` and ``split_item_x`` (reference
 sanity_check.py:12,16 — SURVEY defect 3). Writes PNG panels of S2/S1
 imagery at both timestamps plus the change label for a few samples.
+
+Usage: ``python sanity_check.py -c <config> -d <dataset-dir> [-n 5]``
+(the reference hardcoded its config and relied on a config-resolved
+dataset path; an explicit ``-d`` keeps this runnable anywhere).
 """
 
+import argparse
 from pathlib import Path
 
 from multimodal_siamese_cd_tpu import experiment_manager, visualization
 from multimodal_siamese_cd_tpu.data.dataset import MultimodalCDDataset
 
 
-def sanity_check_dataset(config_name: str, run_type: str = 'training',
-                         n_samples: int = 5, out_dir: str = 'sanity_checks'):
+def sanity_check_dataset(config_name: str, dataset_dir: str = None,
+                         run_type: str = 'training', n_samples: int = 5,
+                         out_dir: str = 'sanity_checks'):
     cfg = experiment_manager.load_cfg(config_name)
+    if dataset_dir is not None:
+        cfg.PATHS.DATASET = str(dataset_dir)
     ds = MultimodalCDDataset(cfg, run_type, no_augmentations=False,
                              disable_multiplier=True)
     n_s1 = len(cfg.DATALOADER.S1_BANDS)
@@ -37,4 +45,12 @@ def sanity_check_dataset(config_name: str, run_type: str = 'training',
 
 
 if __name__ == '__main__':
-    sanity_check_dataset('debug')
+    parser = argparse.ArgumentParser(description="Dataset sanity check")
+    parser.add_argument('-c', '--config-file', dest='config_file', default='debug')
+    parser.add_argument('-d', '--dataset-dir', dest='dataset_dir', default=None)
+    parser.add_argument('-r', '--run-type', dest='run_type', default='training')
+    parser.add_argument('-n', '--n-samples', dest='n_samples', type=int, default=5)
+    parser.add_argument('-o', '--output-dir', dest='output_dir', default='sanity_checks')
+    args = parser.parse_args()
+    sanity_check_dataset(args.config_file, args.dataset_dir, args.run_type,
+                         args.n_samples, args.output_dir)

@@ -264,3 +264,20 @@ def test_device_rot90_matches_numpy():
     for b in range(2):
         assert any(np.array_equal(out[b], np.rot90(x[b], k, axes=(0, 1)))
                    for k in (1, 2, 3))
+
+
+def test_process_loader_matches_sync(cfg):
+    """Process-pool workers must produce byte-identical batches to the
+    synchronous path (dataset pickles across the fork; per-batch seeds are
+    schedule-independent)."""
+    ds = MultimodalCDDataset(cfg, "training", return_stack=True, crop_only=True)
+    sync = TrainLoader(ds, batch_size=2, num_workers=0, seed=5)
+    proc = TrainLoader(ds, batch_size=2, num_workers=1, seed=5,
+                       worker_type="process")
+    try:
+        b_sync = next(iter(sync))
+        b_proc = next(iter(proc))
+        np.testing.assert_array_equal(b_sync["stack"], b_proc["stack"])
+        assert b_sync["aoi_id"] == b_proc["aoi_id"]
+    finally:
+        proc.close()
