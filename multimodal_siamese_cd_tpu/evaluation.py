@@ -105,6 +105,35 @@ def inference_loop(model, state, ds, thresholds=None) -> dict:
     return {'change': _summarize(measurer)}
 
 
+def sharded_scene_probabilities(model, state, item: dict, mesh) -> np.ndarray:
+    """Full-scene inference with the scene's HEIGHT axis sharded over the
+    data mesh — the extension point for scenes that exceed a single chip's
+    memory (SURVEY §5 long-context row). GSPMD inserts the conv halo
+    exchanges at shard boundaries automatically; results are bitwise the
+    single-device ones (tested on the virtual 8-device mesh).
+
+    The padded height must divide the mesh; pad_to_bucket's 64-multiple
+    already covers meshes up to 64 devices for 64-divisible buckets.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .parallel.mesh import DATA_AXIS
+
+    x1, _ = pad_to_bucket(item["x_t1"])
+    x2, _ = pad_to_bucket(item["x_t2"])
+    if x1.shape[0] % mesh.size:
+        bucket = EVAL_BUCKET * mesh.size
+        x1, _ = pad_to_bucket(item["x_t1"], bucket)
+        x2, _ = pad_to_bucket(item["x_t2"], bucket)
+    row_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    x1 = jax.device_put(x1[None], row_sharding)
+    x2 = jax.device_put(x2[None], row_sharding)
+    probs = eval_forward(model, state.params, state.batch_stats, x1, x2)
+    h, w = item["x_t1"].shape[:2]
+    return np.asarray(probs)[0, :h, :w, 0]
+
+
 def dualtask_scene_outputs(model, state, item: dict) -> dict:
     """All sigmoid heads of a dual-task model for one scene, plus the
     auxiliary change-from-semantics head (assessment_semantics.py:115-126)."""

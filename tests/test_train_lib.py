@@ -228,3 +228,18 @@ def test_eval_padding_does_not_change_metrics(cfg):
     assert float(direct.FP[0]) == float(padded.FP[0])
     assert float(direct.FN[0]) == float(padded.FN[0])
     assert float(direct.TN[0]) == float(padded.TN[0])
+
+
+def test_sharded_scene_inference_matches_single_device(cfg):
+    """Height-sharded full-scene eval over the 8-device mesh must reproduce
+    single-device probabilities (GSPMD conv halo exchange)."""
+    cfg.MODEL.TYPE = "siameseunet"
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    ds = MultimodalCDDataset(cfg, "validation", no_augmentations=True,
+                             dataset_mode="first_last", disable_multiplier=True,
+                             disable_unlabeled=True)
+    item = ds[0]
+    single = evaluation.scene_probabilities(model, state, item)
+    mesh = data_mesh()
+    sharded = evaluation.sharded_scene_probabilities(model, state, item, mesh)
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
