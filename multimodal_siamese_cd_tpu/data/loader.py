@@ -149,6 +149,27 @@ class TrainLoader:
             self._proc_pool = None
 
 
+def group_batches(iterator: Iterable[dict], k: int) -> Iterator[dict]:
+    """Stack consecutive batches into (k, B, ...) super-batches for scanned
+    multi-step execution (train_lib.make_scanned_train_step). Array keys gain
+    a leading axis; metadata keys become lists. A trailing partial group is
+    dropped (callers validate divisibility up front)."""
+    buf: list[dict] = []
+    for batch in iterator:
+        buf.append(batch)
+        if len(buf) < k:
+            continue
+        out: dict = {}
+        for key in buf[0]:
+            vals = [b[key] for b in buf]
+            if isinstance(vals[0], np.ndarray):
+                out[key] = np.stack(vals)
+            else:
+                out[key] = vals
+        buf = []
+        yield out
+
+
 # --- process-pool worker plumbing (module-level for picklability) -----------
 
 _WORKER_STATE: dict = {}

@@ -96,6 +96,37 @@ class ProfilerHook:
             self.active = False
 
 
+def _execution_plan(cfg, model, regime, mesh, loader):
+    """Resolve STEPS_PER_EXECUTION: returns (k, step_fn, sharding_spec).
+
+    k > 1 fuses k optimizer steps into one dispatch via lax.scan
+    (train_lib.make_scanned_train_step) — worthwhile when dispatch latency
+    is material (remote-attached TPUs). Falls back to 1 when DEBUG or when
+    the epoch/log cadence does not divide evenly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .parallel.mesh import DATA_AXIS
+
+    k = int(cfg.TRAINER.get('STEPS_PER_EXECUTION', 1))
+    if k > 1 and (cfg.DEBUG or len(loader) % k != 0 or cfg.LOG_FREQ % k != 0):
+        print(f'warning: STEPS_PER_EXECUTION={k} incompatible with '
+              f'steps/epoch={len(loader)} or LOG_FREQ={cfg.LOG_FREQ}; using 1')
+        k = 1
+    if k <= 1:
+        return 1, train_lib.make_train_step(model, cfg, regime, mesh=mesh), \
+            batch_sharding(mesh)
+    step_fn = train_lib.make_scanned_train_step(model, cfg, regime, mesh=mesh)
+    return k, step_fn, NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def _batch_stream(cfg, loader, k, sharding):
+    """Loader -> (grouped ->) device-staged batch stream."""
+    from .data.loader import group_batches
+
+    source = loader if k == 1 else group_batches(loader, k)
+    return prefetch_to_device(source, sharding=sharding)
+
+
 def _loader(cfg) -> TrainLoader:
     ds = MultimodalCDDataset(cfg, 'training', return_stack=True, crop_only=True)
     print(ds)
@@ -120,13 +151,14 @@ def run_supervised(cfg) -> None:
 
     model, state, start_step = _create_or_resume(cfg)
     profiler = ProfilerHook(cfg)
-    step_fn = train_lib.make_train_step(model, cfg, 'supervised', mesh=mesh)
     rng = jax.random.PRNGKey(cfg.SEED)
 
     loader = _loader(cfg)
     epochs = cfg.TRAINER.EPOCHS
     save_checkpoints = cfg.SAVE_CHECKPOINTS
     steps_per_epoch = len(loader)
+    k_exec, step_fn, stream_sharding = _execution_plan(
+        cfg, model, 'supervised', mesh, loader)
 
     global_step, epoch_float = start_step, 0
     for epoch in range(1, epochs + 1):
@@ -134,11 +166,11 @@ def run_supervised(cfg) -> None:
         start = timeit.default_timer()
         loss_set = []
 
-        for batch in prefetch_to_device(loader, sharding=batch_sharding(mesh)):
+        for batch in _batch_stream(cfg, loader, k_exec, stream_sharding):
             state, m = step_fn(state, batch['stack'], batch['is_labeled'], rng)
             loss_set.append(m['loss'])
 
-            global_step += 1
+            global_step += k_exec
             profiler.step(global_step)
             epoch_float = global_step / steps_per_epoch
 
@@ -184,13 +216,14 @@ def run_semisupervised(cfg) -> None:
 
     model, state, start_step = _create_or_resume(cfg)
     profiler = ProfilerHook(cfg)
-    step_fn = train_lib.make_train_step(model, cfg, 'semisupervised', mesh=mesh)
     rng = jax.random.PRNGKey(cfg.SEED)
 
     loader = _loader(cfg)
     epochs = cfg.TRAINER.EPOCHS
     save_checkpoints = cfg.SAVE_CHECKPOINTS
     steps_per_epoch = len(loader)
+    k_exec, step_fn, stream_sharding = _execution_plan(
+        cfg, model, 'semisupervised', mesh, loader)
 
     global_step, epoch_float = start_step, 0
     for epoch in range(1, epochs + 1):
@@ -201,14 +234,14 @@ def run_semisupervised(cfg) -> None:
             'loss', 'sup_loss', 'cons_loss')}
         n_labeled, n_notlabeled = 0.0, 0.0
 
-        for batch in prefetch_to_device(loader, sharding=batch_sharding(mesh)):
+        for batch in _batch_stream(cfg, loader, k_exec, stream_sharding):
             state, m = step_fn(state, batch['stack'], batch['is_labeled'], rng)
             for k in sets:
                 sets[k].append(m[k])
-            n_labeled += float(m['n_labeled'])
-            n_notlabeled += float(m['n_notlabeled'])
+            n_labeled += float(m['n_labeled']) * k_exec
+            n_notlabeled += float(m['n_notlabeled']) * k_exec
 
-            global_step += 1
+            global_step += k_exec
             profiler.step(global_step)
             epoch_float = global_step / steps_per_epoch
 
@@ -256,13 +289,14 @@ def run_dualtask(cfg) -> None:
 
     model, state, start_step = _create_or_resume(cfg)
     profiler = ProfilerHook(cfg)
-    step_fn = train_lib.make_train_step(model, cfg, 'dualtask', mesh=mesh)
     rng = jax.random.PRNGKey(cfg.SEED)
 
     loader = _loader(cfg)
     epochs = cfg.TRAINER.EPOCHS
     save_checkpoints = cfg.SAVE_CHECKPOINTS
     steps_per_epoch = len(loader)
+    k_exec, step_fn, stream_sharding = _execution_plan(
+        cfg, model, 'dualtask', mesh, loader)
 
     global_step, epoch_float = start_step, 0
     for epoch in range(1, epochs + 1):
@@ -270,13 +304,13 @@ def run_dualtask(cfg) -> None:
         start = timeit.default_timer()
         loss_set, sem_loss_set, change_loss_set = [], [], []
 
-        for batch in prefetch_to_device(loader, sharding=batch_sharding(mesh)):
+        for batch in _batch_stream(cfg, loader, k_exec, stream_sharding):
             state, m = step_fn(state, batch['stack'], batch['is_labeled'], rng)
             loss_set.append(m['loss'])
             sem_loss_set.append(m['sem_loss'])
             change_loss_set.append(m['change_loss'])
 
-            global_step += 1
+            global_step += k_exec
             profiler.step(global_step)
             epoch_float = global_step / steps_per_epoch
 

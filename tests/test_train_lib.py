@@ -243,3 +243,21 @@ def test_sharded_scene_inference_matches_single_device(cfg):
     mesh = data_mesh()
     sharded = evaluation.sharded_scene_probabilities(model, state, item, mesh)
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+
+def test_batched_eval_matches_per_scene(cfg):
+    """Scene-batched measurer must produce identical counts to per-scene
+    dispatch (the reference's batch-1 protocol)."""
+    cfg.MODEL.TYPE = "siameseunet"
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    ds = MultimodalCDDataset(cfg, "training", no_augmentations=True,
+                             dataset_mode="first_last", disable_multiplier=True,
+                             disable_unlabeled=True)
+    items = list(ds)
+    batched = evaluation.run_measurer(model, state, items, np.array([0.5]),
+                                      batch_scenes=True)
+    single = evaluation.run_measurer(model, state, items, np.array([0.5]),
+                                     batch_scenes=False)
+    for a, b in [(batched.TP, single.TP), (batched.TN, single.TN),
+                 (batched.FP, single.FP), (batched.FN, single.FN)]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1.0)
