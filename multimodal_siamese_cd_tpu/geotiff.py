@@ -133,8 +133,21 @@ class CRS:
 
 
 # --- Compression codecs -----------------------------------------------------
+# Optional native kernels (tools/build_native.py); pure-Python fallbacks
+# below keep everything working without a compiler.
+try:
+    from . import _fastcodecs
+except ImportError:
+    _fastcodecs = None
+
 
 def _packbits_decode(data: bytes) -> bytes:
+    if _fastcodecs is not None:
+        return _fastcodecs.packbits_decode(data)
+    return _packbits_decode_py(data)
+
+
+def _packbits_decode_py(data: bytes) -> bytes:
     out = bytearray()
     i, n = 0, len(data)
     while i < n:
@@ -151,6 +164,12 @@ def _packbits_decode(data: bytes) -> bytes:
 
 
 def _lzw_decode(data: bytes) -> bytes:
+    if _fastcodecs is not None:
+        return _fastcodecs.lzw_decode(data)
+    return _lzw_decode_py(data)
+
+
+def _lzw_decode_py(data: bytes) -> bytes:
     """TIFF-variant LZW (MSB-first bit packing, early code-width change)."""
     CLEAR, EOI = 256, 257
     out = bytearray()
@@ -195,8 +214,9 @@ def _lzw_decode(data: bytes) -> bytes:
             raise ValueError("Corrupt LZW stream: code out of range")
         out += entry
         prev = entry
-        # TIFF "early change": widen one code before the table is full.
-        if len(table) + 1 >= (1 << nbits) and nbits < 12:
+        # TIFF "early change", decoder side: the decoder's table lags the
+        # encoder's by one entry, so widen when two slots from the boundary.
+        if len(table) + 2 >= (1 << nbits) and nbits < 12:
             nbits += 1
             maxcode = (1 << nbits) - 1
     return bytes(out)

@@ -143,7 +143,12 @@ def _lzw_encode_reference(data: bytes) -> bytes:
             emit(table[w], nbits)
             table[w + c] = next_code
             next_code += 1
-            if next_code == (1 << nbits) - 1 and nbits < 12:
+            if next_code >= 4094:  # spec: reset before codes overflow 12 bits
+                emit(CLEAR, nbits)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                nbits = 9
+            elif next_code == (1 << nbits) - 1 and nbits < 12:
                 nbits += 1
             w = c
     if w:
@@ -262,3 +267,22 @@ def test_fixture_dataset(fixture_dataset):
         f"buildings_{aoi}_{last['year']}_{last['month']:02d}.tif")
     change = np.logical_and(bld == 0, bld2 == 1)
     assert change.sum() > 0
+
+
+def test_native_codecs_match_python():
+    """When the optional C extension is built, its LZW/PackBits decoders must
+    be byte-identical to the pure-Python fallbacks on random payloads."""
+    try:
+        from multimodal_siamese_cd_tpu import _fastcodecs
+    except ImportError:
+        pytest.skip("native extension not built")
+    rng = np.random.default_rng(0)
+    for size in (0, 1, 17, 5000, 200000):
+        raw = rng.integers(0, 12, size=size, dtype=np.uint8).tobytes()
+        compressed = _lzw_encode_reference(raw)
+        assert _fastcodecs.lzw_decode(compressed) == \
+            geotiff._lzw_decode_py(compressed) == raw
+    # packbits: runs + literals
+    payload = bytes([257 - 30, 9, 4, 1, 2, 3, 4, 5, 128, 257 - 2, 0])
+    assert _fastcodecs.packbits_decode(payload) == \
+        geotiff._packbits_decode_py(payload)
