@@ -12,8 +12,6 @@ Usage (same CLI contract, assessment_change.py:64-86):
 
 from pathlib import Path
 
-import numpy as np
-
 from multimodal_siamese_cd_tpu import (
     checkpoints,
     evaluation,

@@ -32,7 +32,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import Decoder, DoubleConv, Encoder, InConv, OutConv, max_pool_2x2
+from .blocks import Decoder, Encoder, InConv, OutConv, max_pool_2x2
 
 Dtype = Any
 

@@ -28,7 +28,7 @@ from flax.training import train_state
 from . import losses
 from .data.augmentations import device_augment_batch
 from .models import create_network, init_variables
-from .parallel import batch_sharding, replicated_sharding
+from .parallel import replicated_sharding
 
 
 class TrainState(train_state.TrainState):
