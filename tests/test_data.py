@@ -281,3 +281,32 @@ def test_process_loader_matches_sync(cfg):
         assert b_sync["aoi_id"] == b_proc["aoi_id"]
     finally:
         proc.close()
+
+
+def test_cache_key_changes_with_bands(cfg, fixture_dataset):
+    """Changing the band selection must produce a different cache entry
+    (the key hashes bands + timestamps + dtype), never stale data."""
+    meta = geofiles.load_json(fixture_dataset / "metadata.json")
+    a = SceneCache(fixture_dataset, meta, [0, 1], [2, 1, 0, 3])
+    b = SceneCache(fixture_dataset, meta, [1, 0], [2, 1, 0, 3])
+    assert a._cache_key(TRAIN_AOIS[0], "s1") != b._cache_key(TRAIN_AOIS[0], "s1")
+    ts = meta[TRAIN_AOIS[0]][0]
+    s_a = a.load(TRAIN_AOIS[0], "s1", ts["year"], ts["month"])
+    s_b = b.load(TRAIN_AOIS[0], "s1", ts["year"], ts["month"])
+    np.testing.assert_array_equal(s_a[..., 0], s_b[..., 1])  # band order swapped
+
+
+def test_corrupt_tif_raises_cleanly(cfg, fixture_dataset, tmp_path):
+    import shutil
+
+    tree = tmp_path / "ds"
+    shutil.copytree(fixture_dataset, tree)
+    aoi = TRAIN_AOIS[0]
+    victim = next((tree / aoi / "s1").glob("*.tif"))
+    victim.write_bytes(b"not a tiff at all")
+    cfg2 = cfg.clone()
+    cfg2.PATHS.DATASET = str(tree)
+    cfg2.DATALOADER.CACHE_DIR = str(tmp_path / "cache")
+    ds = MultimodalCDDataset(cfg2, "training", disable_multiplier=True)
+    with pytest.raises(ValueError, match="TIFF"):
+        ds[0]
