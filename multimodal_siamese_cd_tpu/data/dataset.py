@@ -213,9 +213,14 @@ class MultimodalCDDataset:
             change_full = None
             label_plane = None
 
+        if h < crop or w < crop:
+            raise ValueError(
+                f"AOI {aoi_id} scene ({h}x{w}) is smaller than "
+                f"AUGMENTATION.CROP_SIZE={crop}; shrink the crop or exclude "
+                f"the AOI (batches must be uniformly sized)")
         y0, x0 = augmentations.choose_crop_offset(
             label_plane, h, w, crop, rng, importance)
-        s = min(crop, h, w)
+        s = crop
         n_s1 = len(self.s1_band_indices)
         n_s2 = len(self.s2_band_indices)
         n_img = 2 * n_s1 + 2 * n_s2

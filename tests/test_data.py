@@ -310,3 +310,10 @@ def test_corrupt_tif_raises_cleanly(cfg, fixture_dataset, tmp_path):
     ds = MultimodalCDDataset(cfg2, "training", disable_multiplier=True)
     with pytest.raises(ValueError, match="TIFF"):
         ds[0]
+
+
+def test_scene_smaller_than_crop_raises(cfg):
+    cfg.AUGMENTATION.CROP_SIZE = 4096
+    ds = MultimodalCDDataset(cfg, "training", disable_multiplier=True)
+    with pytest.raises(ValueError, match="smaller than"):
+        ds[0]
