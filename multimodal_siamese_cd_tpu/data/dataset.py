@@ -229,10 +229,13 @@ class MultimodalCDDataset:
             return self.cache.load_raw(aoi_id, modality, year, month)[
                 y0:y0 + s, x0:x0 + s]
 
-        # Assemble the joint stack straight into one float32 buffer —
-        # each slot assignment converts the windowed storage-dtype view in
-        # place (no intermediate full-precision arrays or concats).
-        stack = np.zeros((s, s, n_img + 3), np.float32)
+        # Assemble the joint stack straight into one buffer — each slot
+        # assignment converts the windowed storage-dtype view in place (no
+        # intermediate arrays or concats). float16 wire format: the scene
+        # cache is float16 already and labels are exact in f16, so this is
+        # lossless while halving host->device transfer bytes (the training
+        # step upcasts to f32 on device).
+        stack = np.zeros((s, s, n_img + 3), np.float16)
         stack[..., :n_s1] = raw_win('s1', year_t1, month_t1)
         stack[..., n_s1:2 * n_s1] = raw_win('s1', year_t2, month_t2)
         stack[..., 2 * n_s1:2 * n_s1 + n_s2] = raw_win('s2', year_t1, month_t1)
@@ -244,7 +247,7 @@ class MultimodalCDDataset:
             stack[..., n_img + 2] = change_full[y0:y0 + s, x0:x0 + s]
 
         # Remaining (post-crop) transforms: identity for crop_only; host
-        # flips/rot/photometric otherwise (cheap on 256² crops).
+        # flips/rot/photometric otherwise (cheap on 256² crops, f32).
         if not self.crop_only:
             post = augmentations.Compose(
                 [t for t in transform.transforms
@@ -256,12 +259,13 @@ class MultimodalCDDataset:
 
         if self.return_stack:
             return {
-                'stack': np.ascontiguousarray(stack),
+                'stack': np.ascontiguousarray(stack),  # f16 iff crop_only
                 'aoi_id': aoi_id,
                 'year_t1': year_t1, 'month_t1': month_t1,
                 'year_t2': year_t2, 'month_t2': month_t2,
                 'is_labeled': labeled,
             }
+        stack = stack.astype(np.float32, copy=False)  # item API stays f32
         imgs = stack[..., :n_img]
         buildings = stack[..., n_img:n_img + 2]
         change = stack[..., n_img + 2:]

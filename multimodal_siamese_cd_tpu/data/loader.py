@@ -32,7 +32,11 @@ def collate(items: list[dict]) -> dict:
     for key in items[0]:
         vals = [it[key] for it in items]
         if key in _STACK_KEYS:
-            batch[key] = np.stack(vals).astype(np.float32)
+            # keep f16/f32 as produced (f16 is the training wire format —
+            # half the host->device bytes; steps upcast on device)
+            arr = np.stack(vals)
+            batch[key] = arr if arr.dtype in (np.float32, np.float16) \
+                else arr.astype(np.float32)
         elif key == "is_labeled":
             batch[key] = np.asarray(vals, np.float32)
         elif isinstance(vals[0], (int, float, np.integer, np.floating)):

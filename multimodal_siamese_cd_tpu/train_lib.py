@@ -99,6 +99,9 @@ def split_stack(stack: jnp.ndarray, layout: dict):
 
 def _augment(stack, rng, cfg, layout):
     a = cfg.AUGMENTATION
+    # Batches may arrive in the f16 wire format (half the H2D bytes);
+    # upcast on device before augmentation math.
+    stack = stack.astype(jnp.float32)
     return device_augment_batch(
         stack, rng,
         flip=bool(a.RANDOM_FLIP), rotate=bool(a.RANDOM_ROTATE),
