@@ -195,10 +195,16 @@ def prefetch_to_device(iterator: Iterable[dict], size: int = 2,
                        sharding=None, keys: tuple = _STACK_KEYS + ("is_labeled",)):
     """Stage upcoming batches onto device(s) ahead of consumption.
 
-    Array values under ``keys`` are ``jax.device_put`` (with ``sharding``
-    when given — batches then arrive already laid out over the mesh);
-    everything else passes through untouched.
+    A background thread pulls from ``iterator`` and ``jax.device_put``s array
+    values under ``keys`` (with ``sharding`` when given — batches arrive
+    already laid out over the mesh) into a bounded queue, so host->device
+    transfer genuinely overlaps device execution even when device_put blocks
+    (as it does on remote-attached TPUs, where the transfer link — not the
+    chip — can be the bottleneck).
     """
+    import queue
+    import threading
+
     import jax
 
     def put(batch: dict) -> dict:
@@ -211,17 +217,46 @@ def prefetch_to_device(iterator: Iterable[dict], size: int = 2,
                 out[k] = v
         return out
 
-    buf: list = []
-    it = iter(iterator)
-    try:
-        for _ in range(size):
-            buf.append(put(next(it)))
-    except StopIteration:
-        pass
-    while buf:
-        nxt = buf.pop(0)
+    q: queue.Queue = queue.Queue(maxsize=max(1, size))
+    _END = object()
+    error: list = []
+    stop = threading.Event()
+
+    def producer():
         try:
-            buf.append(put(next(it)))
-        except StopIteration:
-            pass
-        yield nxt
+            for batch in iterator:
+                staged = put(batch)
+                while not stop.is_set():
+                    try:
+                        q.put(staged, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # surface in the consumer
+            error.append(e)
+        finally:
+            # The end sentinel must not be dropped on a momentarily-full
+            # queue — block for space unless the consumer has stopped.
+            while not stop.is_set():
+                try:
+                    q.put(_END, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if error:
+                    raise error[0]
+                return
+            yield item
+    finally:
+        # Consumer abandoned early (e.g. the DEBUG one-batch break):
+        # stop the producer instead of letting it stage a whole epoch.
+        stop.set()

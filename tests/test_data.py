@@ -317,3 +317,51 @@ def test_scene_smaller_than_crop_raises(cfg):
     ds = MultimodalCDDataset(cfg, "training", disable_multiplier=True)
     with pytest.raises(ValueError, match="smaller than"):
         ds[0]
+
+
+def test_prefetch_to_device_delivers_all_batches():
+    """Async prefetch must deliver every batch and terminate — including
+    when the producer finishes while the queue is full (the end-sentinel
+    must not be dropped)."""
+    from multimodal_siamese_cd_tpu.data.loader import prefetch_to_device
+
+    batches = [{"stack": np.full((1, 2, 2, 1), i, np.float32), "i": i}
+               for i in range(7)]
+    out = list(prefetch_to_device(iter(batches), size=2))
+    assert [b["i"] for b in out] == list(range(7))
+    np.testing.assert_array_equal(np.asarray(out[3]["stack"]),
+                                  batches[3]["stack"])
+
+
+def test_prefetch_to_device_early_abandon():
+    """Abandoning consumption mid-stream (the DEBUG break) must stop the
+    producer promptly rather than staging the remaining epoch."""
+    import time
+
+    from multimodal_siamese_cd_tpu.data.loader import prefetch_to_device
+
+    pulled = []
+
+    def slow_source():
+        for i in range(1000):
+            pulled.append(i)
+            yield {"stack": np.zeros((1, 2, 2, 1), np.float32), "i": i}
+
+    stream = prefetch_to_device(slow_source(), size=2)
+    next(stream)
+    stream.close()
+    time.sleep(0.3)
+    assert len(pulled) < 20  # producer stopped, didn't run the whole epoch
+
+
+def test_prefetch_to_device_propagates_errors():
+    from multimodal_siamese_cd_tpu.data.loader import prefetch_to_device
+
+    def bad_source():
+        yield {"stack": np.zeros((1, 2, 2, 1), np.float32)}
+        raise RuntimeError("loader exploded")
+
+    stream = prefetch_to_device(bad_source(), size=2)
+    next(stream)
+    with pytest.raises(RuntimeError, match="loader exploded"):
+        list(stream)
