@@ -18,13 +18,14 @@ data, not code, so unsafe loading is deliberately not reproduced.
 
 from __future__ import annotations
 
-import ast
 import copy
+import re
 from pathlib import Path
 
 import yaml
 
 BASE_KEY = "_BASE_"
+_SCI_NOTATION = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)[eE][+-]?\d+$")
 
 
 class CfgNode(dict):
@@ -42,14 +43,14 @@ class CfgNode(dict):
             return cls(value)
         if isinstance(value, (list, tuple)):
             return [cls._convert(v) for v in value]
-        if isinstance(value, str):
-            # PyYAML leaves scientific notation without a dot ('1e-4') as a
-            # string; coerce Python literals the way yacs/fvcore do at merge
-            # time so `LR: 1e-4` becomes a float (reference relies on this).
-            try:
-                return ast.literal_eval(value)
-            except (ValueError, SyntaxError, MemoryError, TypeError):
-                return value
+        if isinstance(value, str) and _SCI_NOTATION.match(value):
+            # PyYAML's YAML-1.1 resolver leaves scientific notation like
+            # '1e-4' / '2E5' as strings (its float regex demands a dot and a
+            # signed exponent); coerce exactly those so `LR: 1e-4` becomes a
+            # float (the reference relies on fvcore doing this). Anything
+            # else — quoted numerics ('12' stays the string the user
+            # quoted), paths, ids — is left untouched.
+            return float(value)
         return value
 
     # -- attribute access -------------------------------------------------

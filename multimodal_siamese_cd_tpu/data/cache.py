@@ -86,11 +86,22 @@ class SceneCache:
         arr[0] = first
         for i, (y, m) in enumerate(ts[1:], start=1):
             arr[i] = self._decode(aoi_id, modality, y, m)
-        tmp = npy.with_suffix(".tmp.npy")
-        np.save(tmp, arr)
-        tmp.rename(npy)
-        meta_file.write_text(json.dumps(
+        # Unique tmp names + atomic os.replace: concurrent builders (process
+        # workers, parallel jobs sharing a dataset dir) each write their own
+        # complete file and the last replace wins — builds are deterministic,
+        # so either winner is valid and no reader ever sees a partial file.
+        import os
+        import uuid
+
+        suffix = f".{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        tmp_npy = npy.with_name(npy.name + suffix)
+        with open(tmp_npy, "wb") as f:
+            np.save(f, arr)
+        tmp_meta = meta_file.with_name(meta_file.name + suffix)
+        tmp_meta.write_text(json.dumps(
             {"timestamps": ts, "shape": list(arr.shape), "dtype": str(dtype)}))
+        os.replace(tmp_meta, meta_file)
+        os.replace(tmp_npy, npy)
 
     def _load_packed(self, aoi_id: str, modality: str):
         key = (aoi_id, modality)

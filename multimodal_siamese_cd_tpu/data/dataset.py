@@ -231,11 +231,14 @@ class MultimodalCDDataset:
 
         # Assemble the joint stack straight into one buffer — each slot
         # assignment converts the windowed storage-dtype view in place (no
-        # intermediate arrays or concats). float16 wire format: the scene
-        # cache is float16 already and labels are exact in f16, so this is
-        # lossless while halving host->device transfer bytes (the training
-        # step upcasts to f32 on device).
-        stack = np.zeros((s, s, n_img + 3), np.float16)
+        # intermediate arrays or concats). float16 wire format when the
+        # scene cache is float16 (then it's lossless — labels are exact in
+        # f16 too) while halving host->device bytes; full-precision caches
+        # (CACHE_DTYPE float32 / SCENE_CACHE False) keep an f32 wire so the
+        # precision knob stays meaningful. Steps upcast on device.
+        f16_wire = self.cache.enabled and np.dtype(self.cache.dtype) == np.float16
+        stack = np.zeros((s, s, n_img + 3),
+                         np.float16 if f16_wire else np.float32)
         stack[..., :n_s1] = raw_win('s1', year_t1, month_t1)
         stack[..., n_s1:2 * n_s1] = raw_win('s1', year_t2, month_t2)
         stack[..., 2 * n_s1:2 * n_s1 + n_s2] = raw_win('s2', year_t1, month_t1)

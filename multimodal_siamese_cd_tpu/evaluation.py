@@ -155,29 +155,34 @@ def sharded_scene_probabilities(model, state, item: dict, mesh) -> np.ndarray:
     return np.asarray(probs)[0, :h, :w, 0]
 
 
+import functools as _functools
+
+import jax as _jax
+
+
+@_functools.partial(_jax.jit, static_argnames=("model",))
+def _dualtask_forward(model, variables, a, b):
+    """Jit-cached (per model + shape bucket) dual-task forward with all
+    sigmoid heads — module-level so per-scene calls reuse compilations."""
+    logits_change, logits_sem_t1, logits_sem_t2 = model.apply(
+        variables, a, b, train=False)
+    logits_change_sem = model.apply(
+        variables, logits_sem_t1, logits_sem_t2, method=model.sem_change_head)
+    sig = _jax.nn.sigmoid
+    return (sig(logits_change), sig(logits_sem_t1), sig(logits_sem_t2),
+            sig(logits_change_sem))
+
+
 def dualtask_scene_outputs(model, state, item: dict) -> dict:
     """All sigmoid heads of a dual-task model for one scene, plus the
     auxiliary change-from-semantics head (assessment_semantics.py:115-126)."""
-    import jax
-
     x1, _ = pad_to_bucket(item["x_t1"])
     x2, _ = pad_to_bucket(item["x_t2"])
     h, w = item["x_t1"].shape[:2]
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-
-    @jax.jit
-    def fwd(v, a, b):
-        logits_change, logits_sem_t1, logits_sem_t2 = model.apply(
-            v, a, b, train=False)
-        logits_change_sem = model.apply(
-            v, logits_sem_t1, logits_sem_t2,
-            method=model.sem_change_head)
-        sig = jax.nn.sigmoid
-        return (sig(logits_change), sig(logits_sem_t1), sig(logits_sem_t2),
-                sig(logits_change_sem))
-
-    change, sem_t1, sem_t2, change_sem = fwd(variables, x1[None], x2[None])
+    change, sem_t1, sem_t2, change_sem = _dualtask_forward(
+        model, variables, x1[None], x2[None])
     clip = lambda a: np.asarray(a)[0, :h, :w, 0]
     return {"change": clip(change), "sem_t1": clip(sem_t1),
             "sem_t2": clip(sem_t2), "change_sem": clip(change_sem)}

@@ -82,7 +82,7 @@ class ProfilerHook:
     def step(self, global_step: int) -> None:
         if not self.dir:
             return
-        if not self.active and global_step == self.START_STEP:
+        if not self.active and global_step >= self.START_STEP:
             jax.profiler.start_trace(str(self.dir))
             self.active = True
         elif self.active and global_step >= self.STOP_STEP:
@@ -145,6 +145,34 @@ def _mean(values: list) -> float:
     return float(np.mean([float(v) for v in values])) if values else 0.0
 
 
+def _semisup_window_means(sets: dict, label_counts: list) -> dict:
+    """Fetch the window's device scalars once and reduce with the reference's
+    protocol (train_semisupervised.py:85-106): supervised component losses
+    average only over batches that HAD labeled rows, the consistency loss
+    only over batches that had unlabeled rows (our step emits 0 for the
+    absent partition, which must not bias the mean toward 0)."""
+    n_lab = np.array([float(a) for a, _ in label_counts])
+    n_unl = np.array([float(b) for _, b in label_counts])
+    has_lab = n_lab > 0
+    has_unl = n_unl > 0
+
+    def masked_mean(key, mask):
+        vals = np.array([float(v) for v in sets[key]])
+        return float(vals[mask].mean()) if mask.any() else 0.0
+
+    total = n_lab.sum() + n_unl.sum()
+    return {
+        'fusion_loss': masked_mean('fusion_loss', has_lab),
+        'stream1_loss': masked_mean('stream1_loss', has_lab),
+        'stream2_loss': masked_mean('stream2_loss', has_lab),
+        'sup_loss': masked_mean('sup_loss', has_lab),
+        'cons_loss': masked_mean('cons_loss', has_unl),
+        'loss': _mean(sets['loss']),
+        'labeled_percentage':
+            float(n_lab.sum()) / max(total, 1.0) * 100,
+    }
+
+
 def run_supervised(cfg) -> None:
     mesh = _training_mesh(cfg)
     print_run_config(cfg, f"{jax.default_backend()}[{mesh.size}]")
@@ -161,7 +189,11 @@ def run_supervised(cfg) -> None:
         cfg, model, 'supervised', mesh, loader)
 
     global_step, epoch_float = start_step, 0
-    for epoch in range(1, epochs + 1):
+    start_epoch = start_step // max(steps_per_epoch, 1)
+    if start_epoch:
+        print(f'resuming at epoch {start_epoch + 1} '
+              f'(step {start_step}, {steps_per_epoch} steps/epoch)')
+    for epoch in range(start_epoch + 1, epochs + 1):
         print(f'Starting epoch {epoch}/{epochs}.')
         start = timeit.default_timer()
         loss_set = []
@@ -196,7 +228,7 @@ def run_supervised(cfg) -> None:
                 start = timeit.default_timer()
                 loss_set = []
 
-        if not cfg.DEBUG and start_step == 0:
+        if not cfg.DEBUG and start_step % steps_per_epoch == 0:
             assert epoch == epoch_float
         print(f'epoch float {epoch_float} (step {global_step}) - epoch {epoch}')
         evaluation.model_evaluation(model, state, cfg, 'training', epoch_float, global_step)
@@ -226,20 +258,24 @@ def run_semisupervised(cfg) -> None:
         cfg, model, 'semisupervised', mesh, loader)
 
     global_step, epoch_float = start_step, 0
-    for epoch in range(1, epochs + 1):
+    start_epoch = start_step // max(steps_per_epoch, 1)
+    if start_epoch:
+        print(f'resuming at epoch {start_epoch + 1} '
+              f'(step {start_step}, {steps_per_epoch} steps/epoch)')
+    for epoch in range(start_epoch + 1, epochs + 1):
         print(f'Starting epoch {epoch}/{epochs}.')
         start = timeit.default_timer()
         sets: dict[str, list] = {k: [] for k in (
             'fusion_loss', 'stream1_loss', 'stream2_loss',
             'loss', 'sup_loss', 'cons_loss')}
-        n_labeled, n_notlabeled = 0.0, 0.0
+        label_counts: list = []
 
         for batch in _batch_stream(cfg, loader, k_exec, stream_sharding):
             state, m = step_fn(state, batch['stack'], batch['is_labeled'], rng)
+            # keep device scalars; fetch only at log time
             for k in sets:
                 sets[k].append(m[k])
-            n_labeled += float(m['n_labeled']) * k_exec
-            n_notlabeled += float(m['n_notlabeled']) * k_exec
+            label_counts.append((m['n_labeled'], m['n_notlabeled']))
 
             global_step += k_exec
             profiler.step(global_step)
@@ -256,18 +292,16 @@ def run_semisupervised(cfg) -> None:
                                             epoch_float, global_step)
                 time = timeit.default_timer() - start
                 wandb_compat.log({
-                    **{k: _mean(v) for k, v in sets.items()},
-                    'labeled_percentage':
-                        n_labeled / max(n_labeled + n_notlabeled, 1) * 100,
+                    **_semisup_window_means(sets, label_counts),
                     'time': time,
                     'step': global_step,
                     'epoch': epoch_float,
                 })
                 start = timeit.default_timer()
                 sets = {k: [] for k in sets}
-                n_labeled, n_notlabeled = 0.0, 0.0
+                label_counts = []
 
-        if not cfg.DEBUG and start_step == 0:
+        if not cfg.DEBUG and start_step % steps_per_epoch == 0:
             assert epoch == epoch_float
         print(f'epoch float {epoch_float} (step {global_step}) - epoch {epoch}')
         evaluation.model_evaluation(model, state, cfg, 'training', epoch_float, global_step)
@@ -299,7 +333,11 @@ def run_dualtask(cfg) -> None:
         cfg, model, 'dualtask', mesh, loader)
 
     global_step, epoch_float = start_step, 0
-    for epoch in range(1, epochs + 1):
+    start_epoch = start_step // max(steps_per_epoch, 1)
+    if start_epoch:
+        print(f'resuming at epoch {start_epoch + 1} '
+              f'(step {start_step}, {steps_per_epoch} steps/epoch)')
+    for epoch in range(start_epoch + 1, epochs + 1):
         print(f'Starting epoch {epoch}/{epochs}.')
         start = timeit.default_timer()
         loss_set, sem_loss_set, change_loss_set = [], [], []
@@ -338,7 +376,7 @@ def run_dualtask(cfg) -> None:
                 start = timeit.default_timer()
                 loss_set, sem_loss_set, change_loss_set = [], [], []
 
-        if not cfg.DEBUG and start_step == 0:
+        if not cfg.DEBUG and start_step % steps_per_epoch == 0:
             assert epoch == epoch_float
         print(f'epoch float {epoch_float} (step {global_step}) - epoch {epoch}')
         evaluation.model_evaluation(model, state, cfg, 'training', epoch_float, global_step)

@@ -27,8 +27,7 @@ from multimodal_siamese_cd_tpu.data.dataset import MultimodalCDDataset
 FONTSIZE = 16
 
 
-def _predict_change(cfg, ds, aoi_id):
-    model, state, _ = checkpoints.load_checkpoint(cfg.INFERENCE_CHECKPOINT, cfg)
+def _predict_change(model, state, ds, aoi_id):
     index = ds.get_index(aoi_id)
     item = ds[index]
     probs = evaluation.scene_probabilities(model, state, item)
@@ -46,9 +45,10 @@ def qualitative_comparison(config_names: list, output_dir: str, dataset_dir: str
         ds = MultimodalCDDataset(cfg, 'test', dataset_mode='first_last',
                                  no_augmentations=True, disable_unlabeled=True,
                                  disable_multiplier=True)
+        model, state, _ = checkpoints.load_checkpoint(cfg.INFERENCE_CHECKPOINT, cfg)
         n_s1 = len(cfg.DATALOADER.S1_BANDS)
         for i, aoi_id in enumerate(aoi_ids):
-            item, pred = _predict_change(cfg, ds, aoi_id)
+            item, pred = _predict_change(model, state, ds, aoi_id)
             rows[i][3 + j] = visualization.gray_rgb(pred)
             if j == 0:
                 rows[i][0] = visualization.optical_rgb(item['x_t1'][:, :, n_s1:])
@@ -72,9 +72,10 @@ def qualitative_comparison_zoom(config_names: list, output_dir: str,
         ds = MultimodalCDDataset(cfg, 'test', dataset_mode='first_last',
                                  no_augmentations=True, disable_unlabeled=True,
                                  disable_multiplier=True)
+        model, state, _ = checkpoints.load_checkpoint(cfg.INFERENCE_CHECKPOINT, cfg)
         n_s1 = len(cfg.DATALOADER.S1_BANDS)
         for i, (aoi_id, zoom) in enumerate(zip(aoi_ids, zooms)):
-            item, pred = _predict_change(cfg, ds, aoi_id)
+            item, pred = _predict_change(model, state, ds, aoi_id)
             i_start, j_start, s = zoom
             if s is None:
                 i_end, j_end = item['y_change'].shape[:2]

@@ -27,7 +27,7 @@ def sanity_check_dataset(config_name: str, dataset_dir: str = None,
                              disable_multiplier=True)
     n_s1 = len(cfg.DATALOADER.S1_BANDS)
     files = []
-    for index in range(min(n_samples + 1, len(ds))):
+    for index in range(min(n_samples, len(ds))):
         item = ds[index]
         s2_t1 = item['x_t1'][:, :, n_s1:]
         s2_t2 = item['x_t2'][:, :, n_s1:]
