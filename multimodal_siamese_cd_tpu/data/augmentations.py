@@ -91,8 +91,9 @@ class EnsureFloat32:
 def choose_crop_offset(label2d, height: int, width: int, crop_size: int,
                        rng: np.random.Generator, importance: bool) -> tuple[int, int]:
     """Pick a crop origin: uniform, or importance-weighted by change-label
-    window sums (reference augmentations.py:107-142 semantics) computed from
-    one integral image. ``label2d`` may be any integer/float 2-D array (or
+    window sums (reference augmentations.py:107-142 semantics) — the SINGLE
+    implementation of the weighting scheme; the class-based transforms below
+    delegate here. ``label2d`` may be any integer/float/bool 2-D array (or
     None for uniform). This is the loader's crop-first fast path: candidate
     scoring touches only the label plane, never the imagery."""
     limit_y = max(1, height - crop_size)
@@ -120,13 +121,6 @@ class UniformCrop:
         self.crop_size = crop_size
         self.rng = rng
 
-    def sample_offsets(self, height: int, width: int, n: int = 1) -> np.ndarray:
-        limit_y = max(1, height - self.crop_size)
-        limit_x = max(1, width - self.crop_size)
-        ys = self.rng.integers(0, limit_y, size=n)
-        xs = self.rng.integers(0, limit_x, size=n)
-        return np.stack([ys, xs], axis=1)
-
     @staticmethod
     def crop_at(args, y: int, x: int, size: int):
         imgs, buildings, change = args
@@ -134,34 +128,26 @@ class UniformCrop:
                 buildings[y:y + size, x:x + size],
                 change[y:y + size, x:x + size])
 
+    def _label_plane(self, args):
+        return None  # uniform: the label never influences the offset
+
     def __call__(self, args):
-        (y, x), = self.sample_offsets(*args[2].shape[:2], n=1)
+        height, width = args[2].shape[:2]
+        y, x = choose_crop_offset(self._label_plane(args), height, width,
+                                  self.crop_size, self.rng,
+                                  importance=self._label_plane(args) is not None)
         return self.crop_at(args, y, x, self.crop_size)
 
 
 class ImportanceRandomCrop(UniformCrop):
     """Positive-pixel oversampling crop (reference augmentations.py:129-142):
     sample 20 candidate crops, pick one with probability proportional to
-    (change-label sum + 5). Candidate sums come from one integral image —
-    O(HW) total instead of the reference's 20 materialized crops."""
+    (change-label sum + 5). Delegates to :func:`choose_crop_offset` so the
+    weighting scheme lives in exactly one place."""
 
-    def __call__(self, args):
-        _, _, change = args
-        height, width = change.shape[:2]
-        offsets = self.sample_offsets(height, width, IMPORTANCE_SAMPLE_SIZE)
-
-        label2d = change.sum(axis=-1) if change.ndim == 3 else change
-        integral = np.zeros((height + 1, width + 1), np.float64)
-        integral[1:, 1:] = label2d.cumsum(axis=0).cumsum(axis=1)
-        s = min(self.crop_size, height, width)
-        ys, xs = offsets[:, 0], offsets[:, 1]
-        sums = (integral[ys + s, xs + s] - integral[ys, xs + s]
-                - integral[ys + s, xs] + integral[ys, xs])
-
-        weights = sums + IMPORTANCE_BALANCING
-        weights = weights / weights.sum()
-        idx = self.rng.choice(IMPORTANCE_SAMPLE_SIZE, p=weights)
-        return self.crop_at(args, offsets[idx, 0], offsets[idx, 1], self.crop_size)
+    def _label_plane(self, args):
+        change = args[2]
+        return change.sum(axis=-1) if change.ndim == 3 else change
 
 
 class RandomFlip:

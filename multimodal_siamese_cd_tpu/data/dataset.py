@@ -114,8 +114,7 @@ class MultimodalCDDataset:
         if rng is None:
             rng, transform = self.rng, self.transform
         else:
-            transform = augmentations.compose_transformations(
-                self.cfg, self.no_augmentations, rng=rng, crop_only=self.crop_only)
+            transform = None  # built lazily — the crop-only path never uses it
 
         aoi_id = self.aoi_ids[index]
         labeled = self.labeled[index]
@@ -128,6 +127,10 @@ class MultimodalCDDataset:
             # memmapped scenes — never materializing full float32 scenes.
             return self._get_cropped(aoi_id, labeled, year_t1, month_t1,
                                      year_t2, month_t2, rng, transform)
+
+        if transform is None:
+            transform = augmentations.compose_transformations(
+                self.cfg, self.no_augmentations, rng=rng, crop_only=self.crop_only)
 
         img_s1_t1 = self.cache.load(aoi_id, 's1', year_t1, month_t1)
         img_s2_t1 = self.cache.load(aoi_id, 's2', year_t1, month_t1)
@@ -163,20 +166,7 @@ class MultimodalCDDataset:
                 'is_labeled': labeled,
             }
 
-        n_s1 = len(self.s1_band_indices)
-        n_s2 = len(self.s2_band_indices)
-        img_s1_t1, img_s1_t2 = imgs[..., :n_s1], imgs[..., n_s1:2 * n_s1]
-        img_s2_t1 = imgs[..., 2 * n_s1:2 * n_s1 + n_s2]
-        img_s2_t2 = imgs[..., 2 * n_s1 + n_s2:]
-
-        mode = self.cfg.DATALOADER.INPUT_MODE
-        if mode == 's1':
-            x_t1, x_t2 = img_s1_t1, img_s1_t2
-        elif mode == 's2':
-            x_t1, x_t2 = img_s2_t1, img_s2_t2
-        else:
-            x_t1 = np.concatenate((img_s1_t1, img_s2_t1), axis=-1)
-            x_t2 = np.concatenate((img_s1_t2, img_s2_t2), axis=-1)
+        x_t1, x_t2 = self._split_imgs(imgs)
 
         item = {
             'x_t1': np.ascontiguousarray(x_t1),
@@ -193,6 +183,24 @@ class MultimodalCDDataset:
             item['y_sem_t1'] = np.ascontiguousarray(buildings[..., :1])
             item['y_sem_t2'] = np.ascontiguousarray(buildings[..., 1:])
         return item
+
+
+    def _split_imgs(self, imgs: np.ndarray):
+        """Split the concatenated imagery block into (x_t1, x_t2) per
+        DATALOADER.INPUT_MODE (single home for the channel arithmetic; the
+        jitted-step twin lives in train_lib.split_stack)."""
+        n_s1 = len(self.s1_band_indices)
+        n_s2 = len(self.s2_band_indices)
+        img_s1_t1, img_s1_t2 = imgs[..., :n_s1], imgs[..., n_s1:2 * n_s1]
+        img_s2_t1 = imgs[..., 2 * n_s1:2 * n_s1 + n_s2]
+        img_s2_t2 = imgs[..., 2 * n_s1 + n_s2:2 * n_s1 + 2 * n_s2]
+        mode = self.cfg.DATALOADER.INPUT_MODE
+        if mode == 's1':
+            return img_s1_t1, img_s1_t2
+        if mode == 's2':
+            return img_s2_t1, img_s2_t2
+        return (np.concatenate((img_s1_t1, img_s2_t1), axis=-1),
+                np.concatenate((img_s1_t2, img_s2_t2), axis=-1))
 
     def _get_cropped(self, aoi_id, labeled, year_t1, month_t1, year_t2,
                      month_t2, rng, transform) -> dict:
@@ -252,6 +260,9 @@ class MultimodalCDDataset:
         # Remaining (post-crop) transforms: identity for crop_only; host
         # flips/rot/photometric otherwise (cheap on 256² crops, f32).
         if not self.crop_only:
+            if transform is None:
+                transform = augmentations.compose_transformations(
+                    self.cfg, False, rng=rng, crop_only=False)
             post = augmentations.Compose(
                 [t for t in transform.transforms
                  if not isinstance(t, augmentations.UniformCrop)])
@@ -273,19 +284,7 @@ class MultimodalCDDataset:
         buildings = stack[..., n_img:n_img + 2]
         change = stack[..., n_img + 2:]
 
-        n_s1 = len(self.s1_band_indices)
-        n_s2 = len(self.s2_band_indices)
-        img_s1_t1, img_s1_t2 = imgs[..., :n_s1], imgs[..., n_s1:2 * n_s1]
-        img_s2_t1 = imgs[..., 2 * n_s1:2 * n_s1 + n_s2]
-        img_s2_t2 = imgs[..., 2 * n_s1 + n_s2:]
-        mode = self.cfg.DATALOADER.INPUT_MODE
-        if mode == 's1':
-            x_t1, x_t2 = img_s1_t1, img_s1_t2
-        elif mode == 's2':
-            x_t1, x_t2 = img_s2_t1, img_s2_t2
-        else:
-            x_t1 = np.concatenate((img_s1_t1, img_s2_t1), axis=-1)
-            x_t2 = np.concatenate((img_s1_t2, img_s2_t2), axis=-1)
+        x_t1, x_t2 = self._split_imgs(imgs)
         item = {
             'x_t1': np.ascontiguousarray(x_t1),
             'x_t2': np.ascontiguousarray(x_t2),

@@ -6,10 +6,16 @@ scenes, sigmoid probabilities, threshold set linspace(0.5, 1, 1) == {0.5},
 max-F1 over thresholds, '{run_type} F1/precision/recall' metric names.
 
 XLA needs static shapes, so variable-size scenes are padded up to bucketed
-dimensions (multiples of 64 — also covering the U-Net's pooling
-divisibility) and the padded area is excluded from the confusion counts via
-a validity mask; compilation cost is bounded by the number of distinct
-buckets, not scenes.
+dimensions (multiples of 64 by default) and the padded area is excluded
+from the confusion counts via a validity mask; compilation cost is bounded
+by the number of distinct buckets, not scenes. Caveat: zero-padding is seen
+by the network as image content, so predictions for VALID pixels within the
+receptive field of a padded edge differ slightly from an unpadded forward —
+scenes whose sides are already bucket multiples are bit-exact. For
+reference-exact numbers on arbitrary scene sizes set
+``TRAINER.EVAL_PAD_MULTIPLE: 1`` (exact shapes; one compile per distinct
+scene shape — the models handle any size natively via floor-pooling and
+pad-to-skip upsampling).
 
 ``inference_loop`` is the rebuilt version of the reference's missing
 ``evaluation.inference_loop`` that assessment_change.py:59 calls — the
@@ -34,7 +40,8 @@ EVAL_BUCKET = 64
 
 def pad_to_bucket(arr: np.ndarray, bucket: int = EVAL_BUCKET):
     """Pad (H, W, C) up to multiples of ``bucket``; returns (padded, valid)
-    where valid is the (H_pad, W_pad) {0,1} mask of real pixels."""
+    where valid is the (H_pad, W_pad) {0,1} mask of real pixels.
+    ``bucket=1`` is the exact-shape (no padding) mode."""
     h, w = arr.shape[:2]
     hp = -(-h // bucket) * bucket
     wp = -(-w // bucket) * bucket
@@ -56,7 +63,8 @@ def scene_probabilities(model, state, item: dict) -> np.ndarray:
 
 
 def run_measurer(model, state, ds, thresholds,
-                 batch_scenes: bool = True) -> MultiThresholdMetric:
+                 batch_scenes: bool = True,
+                 bucket: int = EVAL_BUCKET) -> MultiThresholdMetric:
     """Full-scene confusion accumulation over a dataset.
 
     Scenes are padded to bucketed shapes; scenes sharing a bucket are
@@ -67,9 +75,9 @@ def run_measurer(model, state, ds, thresholds,
     measurer = MultiThresholdMetric(thresholds)
     groups: dict = {}
     for item in ds:
-        x1, valid = pad_to_bucket(item["x_t1"])
-        x2, _ = pad_to_bucket(item["x_t2"])
-        y, _ = pad_to_bucket(item["y_change"])
+        x1, valid = pad_to_bucket(item["x_t1"], bucket)
+        x2, _ = pad_to_bucket(item["x_t2"], bucket)
+        y, _ = pad_to_bucket(item["y_change"], bucket)
         if not batch_scenes:
             probs = eval_forward(model, state.params, state.batch_stats,
                                  x1[None], x2[None])
@@ -106,7 +114,8 @@ def model_evaluation(model, state, cfg, run_type: str, epoch: float,
     ds = MultimodalCDDataset(cfg, run_type, no_augmentations=True,
                              dataset_mode='first_last', disable_multiplier=True,
                              disable_unlabeled=True)
-    measurer = run_measurer(model, state, ds, thresholds)
+    bucket = int(cfg.TRAINER.get('EVAL_PAD_MULTIPLE', EVAL_BUCKET))
+    measurer = run_measurer(model, state, ds, thresholds, bucket=bucket)
     f1, precision, recall = _summarize(measurer)
     wandb_compat.log({
         f'{run_type} F1': f1,
@@ -117,12 +126,13 @@ def model_evaluation(model, state, cfg, run_type: str, epoch: float,
     return f1
 
 
-def inference_loop(model, state, ds, thresholds=None) -> dict:
+def inference_loop(model, state, ds, thresholds=None,
+                   bucket: int = EVAL_BUCKET) -> dict:
     """Offline quantitative inference (the contract assessment_change.py:59-61
     expects): returns ``{'change': (f1, precision, recall)}`` over the
     dataset at threshold 0.5."""
     thresholds = np.asarray([0.5]) if thresholds is None else np.asarray(thresholds)
-    measurer = run_measurer(model, state, ds, thresholds)
+    measurer = run_measurer(model, state, ds, thresholds, bucket=bucket)
     return {'change': _summarize(measurer)}
 
 

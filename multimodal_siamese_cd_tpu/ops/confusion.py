@@ -50,7 +50,7 @@ def _confusion_pallas(y_true, y_prob, valid, thresholds, n_thresholds: int,
                       interpret: bool = False):
     n = y_prob.shape[0]
     rows = n // LANES
-    grid = (max(1, rows // BLOCK_ROWS) + (1 if rows % BLOCK_ROWS else 0),)
+    grid = (max(1, -(-rows // BLOCK_ROWS)),)
     # pad rows up to a whole number of blocks
     rows_padded = grid[0] * BLOCK_ROWS
 

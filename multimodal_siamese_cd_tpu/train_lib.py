@@ -174,10 +174,16 @@ def make_semisupervised_train_step(model, cfg, mesh=None, jit: bool = True) -> C
     total = sup (labeled only) / cons (unlabeled only) / sup + cons (mixed),
     expressed as presence-weighted arithmetic so the step stays static.
     """
-    if cfg.MODEL.TYPE not in ("whatevernet", "whatevernet2"):
+    # Any 3-head model trains here, matching the reference's positional
+    # unpacking (train_semisupervised.py:74): whatevernet/whatevernet2
+    # (fusion + per-modality streams) and dtsiameseunet (the dtsiamese_ssl
+    # configs — change head as 'fusion', semantic heads as the consistency
+    # pair, exactly as the reference trainer would consume it).
+    if cfg.MODEL.TYPE not in ("whatevernet", "whatevernet2", "dtsiameseunet"):
         raise ValueError(
-            f"semisupervised training needs a 3-head stream model "
-            f"(whatevernet/whatevernet2), got MODEL.TYPE={cfg.MODEL.TYPE!r}")
+            f"semisupervised training needs a 3-head model "
+            f"(whatevernet/whatevernet2/dtsiameseunet), got "
+            f"MODEL.TYPE={cfg.MODEL.TYPE!r}")
     sup_criterion = losses.get_criterion(cfg.MODEL.LOSS_TYPE)
     cons_criterion = losses.get_criterion(cfg.CONSISTENCY_TRAINER.LOSS_TYPE)
     cons_is_l2 = cfg.CONSISTENCY_TRAINER.LOSS_TYPE == "L2"
@@ -296,6 +302,28 @@ def make_scanned_train_step(model, cfg, regime: str, mesh=None) -> Callable:
             return body(s, stack, lab, rng)
 
         state, metrics = jax.lax.scan(f, state, (stacks, is_labeled))
+        if "n_labeled" in metrics:
+            # Semi-supervised window reduction mirrors the per-step trainer
+            # protocol: component losses average only over scanned steps
+            # where their partition was present (a plain mean would dilute
+            # them toward 0 by the absent-partition steps), counts are sums.
+            has_lab = metrics["n_labeled"] > 0
+            has_unl = metrics["n_notlabeled"] > 0
+
+            def masked(key, mask):
+                return jnp.sum(metrics[key] * mask) / jnp.maximum(
+                    jnp.sum(mask), 1.0)
+
+            return state, {
+                "loss": jnp.mean(metrics["loss"]),
+                "sup_loss": masked("sup_loss", has_lab),
+                "cons_loss": masked("cons_loss", has_unl),
+                "fusion_loss": masked("fusion_loss", has_lab),
+                "stream1_loss": masked("stream1_loss", has_lab),
+                "stream2_loss": masked("stream2_loss", has_lab),
+                "n_labeled": jnp.sum(metrics["n_labeled"]),
+                "n_notlabeled": jnp.sum(metrics["n_notlabeled"]),
+            }
         return state, jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0),
                                              metrics)
 

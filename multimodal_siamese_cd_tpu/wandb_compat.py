@@ -28,11 +28,13 @@ _run = None
 
 
 class _JsonlRun:
-    def __init__(self, name: str, out_dir: Path | None, config: dict | None):
+    def __init__(self, name: str, out_dir: Path | None, config: dict | None,
+                 disabled: bool = False):
         self.name = name
         self.t0 = time.time()
         self.file = None
-        if out_dir is not None:
+        self.disabled = disabled
+        if out_dir is not None and not disabled:
             log_dir = Path(out_dir) / "logs"
             log_dir.mkdir(parents=True, exist_ok=True)
             self.file = open(log_dir / f"{name}.jsonl", "a", buffering=1)
@@ -44,6 +46,9 @@ class _JsonlRun:
             self.file.write(json.dumps(record, default=str) + "\n")
 
     def log(self, metrics: dict) -> None:
+        if self.disabled:
+            # parity with wandb mode='disabled': swallow everything
+            return
         record = {"_t": round(time.time() - self.t0, 3)}
         record.update({k: (float(v) if hasattr(v, "__float__") else v)
                        for k, v in metrics.items()})
@@ -70,7 +75,7 @@ def init(name: str, config=None, entity: str = None, project: str = None,
         _run = _wandb.init(name=name, config=cfg_dict, entity=entity,
                            project=project, tags=tags, mode=mode)
     else:
-        _run = _JsonlRun(name, out_dir, None if mode == "disabled" else cfg_dict)
+        _run = _JsonlRun(name, out_dir, cfg_dict, disabled=(mode == "disabled"))
     return _run
 
 

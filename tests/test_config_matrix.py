@@ -24,6 +24,9 @@ GRID = [
     ("siamese_mmcr_alpha0500", "semisupervised"),   # whatevernet + unlabeled
     ("unet_mmcr_alpha0900", "semisupervised"),      # whatevernet2 family
     ("dtsiamese", "dualtask"),                 # dual-task w/ building labels
+    # dual-task model under the semisup trainer (reference pairing per
+    # BASELINE.json: dtsiamese_ssl.yaml -> train_semisupervised.py)
+    ("dtsiamese_ssl_test", "semisupervised"),
 ]
 
 

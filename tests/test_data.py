@@ -127,19 +127,26 @@ def test_scene_cache_matches_direct_decode(cfg, fixture_dataset):
     assert np.abs(a - b).max() < 5e-4
 
 
-def test_importance_crop_integral_matches_bruteforce():
-    rng = np.random.default_rng(0)
-    change = (rng.uniform(size=(50, 60, 1)) > 0.9).astype(np.float32)
-    crop = aug.ImportanceRandomCrop(16, np.random.default_rng(1))
-    offsets = crop.sample_offsets(50, 60, 20)
-    label2d = change[:, :, 0]
-    integral = np.zeros((51, 61))
-    integral[1:, 1:] = label2d.cumsum(0).cumsum(1)
-    for y, x in offsets:
-        brute = change[y:y + 16, x:x + 16].sum()
-        fast = (integral[y + 16, x + 16] - integral[y, x + 16]
-                - integral[y + 16, x] + integral[y, x])
-        assert brute == pytest.approx(fast)
+def test_importance_crop_weighting_matches_reference_distribution():
+    """choose_crop_offset must weight candidates by (window sum + 5) exactly
+    like the reference's materialized-crop scoring: with a deterministic rng
+    replayed, the chosen offset equals a brute-force reimplementation."""
+    rng_label = np.random.default_rng(0)
+    change = (rng_label.uniform(size=(50, 60)) > 0.9).astype(np.float32)
+    for trial in range(10):
+        fast = aug.choose_crop_offset(change, 50, 60, 16,
+                                      np.random.default_rng(trial),
+                                      importance=True)
+        # brute-force replay with an identical generator
+        r = np.random.default_rng(trial)
+        ys = r.integers(0, 50 - 16, size=aug.IMPORTANCE_SAMPLE_SIZE)
+        xs = r.integers(0, 60 - 16, size=aug.IMPORTANCE_SAMPLE_SIZE)
+        sums = np.array([change[y:y + 16, x:x + 16].sum()
+                         for y, x in zip(ys, xs)])
+        weights = (sums + aug.IMPORTANCE_BALANCING)
+        weights = weights / weights.sum()
+        idx = r.choice(aug.IMPORTANCE_SAMPLE_SIZE, p=weights)
+        assert fast == (int(ys[idx]), int(xs[idx]))
 
 
 def test_importance_crop_prefers_positive_regions():
