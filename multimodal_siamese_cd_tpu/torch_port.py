@@ -1,0 +1,168 @@
+"""Import PyTorch reference checkpoints into this framework.
+
+The reference (utils/networks.py) trains torch modules whose ``state_dict``
+keys follow a fixed grammar — ``inc.conv.conv.0.weight``,
+``encoder.down_seq.down1.mpconv.1.conv.3.bias``,
+``decoder.up_seq.up2.up.weight``, ``outc.conv.weight`` … — for every factory
+model type (networks.py:59-310 over the shared blocks :313-461). This module
+translates such a state_dict into the flax ``{'params', 'batch_stats'}``
+variables produced by :func:`..models.factory.create_network` +
+``init_variables``, so users migrating from the reference can load their
+trained torch weights directly.
+
+Layout conversions (verified numerically against torch 2.x):
+
+  * Conv2d      ``[O, I, kh, kw]``   -> flax ``[kh, kw, I, O]``
+  * ConvTransp. ``[I, O, kh, kw]``   -> flax ``[kh, kw, I, O]`` **with the
+    spatial taps flipped** (torch's transposed conv correlates with the
+    un-flipped kernel; ``lax.conv_transpose`` convolves)
+  * BatchNorm   weight/bias          -> params scale/bias
+                running_mean/var     -> batch_stats mean/var
+                num_batches_tracked  -> dropped (flax keeps no step counter)
+
+The translation is structural, so it covers all six reference factory types
+(unet, dualstreamunet, siameseunet, dtsiameseunet, whatevernet, whatevernet2)
+without per-model tables: top-level attribute names are identical between the
+torch classes and the flax modules by design.
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# torch Sequential index inside DoubleConv -> flax submodule name
+# (conv, BN, ReLU, conv, BN, ReLU) == indices 0, 1, 3, 4 (networks.py:392-398)
+_DOUBLECONV_UNITS = {"0": "conv1", "1": "bn1", "3": "conv2", "4": "bn2"}
+
+_BN_LEAVES = {
+    "weight": ("params", "scale"),
+    "bias": ("params", "bias"),
+    "running_mean": ("batch_stats", "mean"),
+    "running_var": ("batch_stats", "var"),
+}
+
+
+def _to_numpy(v) -> np.ndarray:
+    if hasattr(v, "detach"):  # torch tensor, without importing torch here
+        v = v.detach().cpu().numpy()
+    return np.asarray(v)
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d [O, I, kh, kw] -> flax [kh, kw, I, O]."""
+    return w.transpose(2, 3, 1, 0)
+
+
+def _conv_transpose_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d [I, O, kh, kw] -> flax [kh, kw, I, O], spatially
+    flipped (see module docstring)."""
+    return w.transpose(2, 3, 0, 1)[::-1, ::-1]
+
+
+def _translate_key(key: str):
+    """Map one reference state_dict key to
+    ``(collection, flax_path_tuple, transform)`` or ``None`` to drop it."""
+    parts = key.split(".")
+    top, rest = parts[0], parts[1:]
+    leaf = rest[-1]
+    if leaf == "num_batches_tracked":
+        return None
+
+    def double_conv(prefix, seq_idx):
+        unit = _DOUBLECONV_UNITS[seq_idx]
+        if unit.startswith("bn"):
+            coll, name = _BN_LEAVES[leaf]
+            return coll, prefix + (unit, name), lambda w: w
+        name = "kernel" if leaf == "weight" else "bias"
+        fn = _conv_kernel if leaf == "weight" else (lambda w: w)
+        return "params", prefix + (unit, name), fn
+
+    # InConv:  <top>.conv.conv.<j>.<leaf>      (networks.py:405-412)
+    if rest[:2] == ["conv", "conv"] and len(rest) == 4:
+        return double_conv((top, "conv"), rest[2])
+    # Encoder: <top>.down_seq.down<i>.mpconv.1.conv.<j>.<leaf>  (:415-426)
+    m = re.fullmatch(r"down_seq\.(down\d+)\.mpconv\.1\.conv\.(\d)\.\w+",
+                     ".".join(rest))
+    if m:
+        return double_conv((top, m.group(1), "conv"), m.group(2))
+    # Decoder upsample: <top>.up_seq.up<i>.up.<leaf>   (:429-436)
+    m = re.fullmatch(r"up_seq\.(up\d+)\.up\.\w+", ".".join(rest))
+    if m:
+        name = "kernel" if leaf == "weight" else "bias"
+        fn = _conv_transpose_kernel if leaf == "weight" else (lambda w: w)
+        return "params", (top, m.group(1), "up", name), fn
+    # Decoder DoubleConv: <top>.up_seq.up<i>.conv.conv.<j>.<leaf>
+    m = re.fullmatch(r"up_seq\.(up\d+)\.conv\.conv\.(\d)\.\w+", ".".join(rest))
+    if m:
+        return double_conv((top, m.group(1), "conv"), m.group(2))
+    # OutConv: <top>.conv.<leaf>   (:454-461)
+    if rest[:1] == ["conv"] and len(rest) == 2:
+        name = "kernel" if leaf == "weight" else "bias"
+        fn = _conv_kernel if leaf == "weight" else (lambda w: w)
+        return "params", (top, "conv", name), fn
+    raise KeyError(f"unrecognized reference state_dict key: {key!r}")
+
+
+def port_reference_state_dict(state_dict, variables):
+    """Fill flax ``variables`` (as returned by ``init_variables``) with the
+    weights of a reference torch ``state_dict``.
+
+    Accepts raw module state_dicts and ``nn.DataParallel`` ones (the
+    reference's ``save_checkpoint`` stores the latter, networks.py:30-38 —
+    every key carries a ``module.`` prefix, stripped here). Every torch key
+    must map onto an existing flax leaf of identical shape, and every flax
+    leaf must be covered; anything else raises, so a silent half-port is
+    impossible. Returns new variables (input is not mutated).
+    """
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    want = {}
+    for path, leaf in flat:
+        keys = tuple(getattr(p, "key", getattr(p, "name", None)) for p in path)
+        want[keys] = leaf
+
+    out = {}
+    for key, value in state_dict.items():
+        if key.startswith("module."):
+            key = key[len("module."):]
+        translated = _translate_key(key)
+        if translated is None:
+            continue
+        coll, path, fn = translated
+        full = (coll,) + path
+        if full not in want:
+            raise KeyError(f"{key!r} -> {full} not present in flax variables")
+        arr = fn(_to_numpy(value))
+        if arr.shape != want[full].shape:
+            raise ValueError(
+                f"{key!r} -> {full}: shape {arr.shape} != "
+                f"expected {want[full].shape}")
+        out[full] = jnp.asarray(arr, want[full].dtype)
+
+    missing = sorted(set(want) - set(out))
+    if missing:
+        raise ValueError(f"torch state_dict left flax leaves unfilled: "
+                         f"{missing[:8]}{'...' if len(missing) > 8 else ''}")
+
+    # Reassemble the nested dict from the flat assignments.
+    nested = {}
+    for full, arr in out.items():
+        cur = nested
+        for k in full[:-1]:
+            cur = cur.setdefault(k, {})
+        cur[full[-1]] = arr
+    return nested
+
+
+def load_reference_checkpoint(path, variables):
+    """Load a reference ``.pt`` checkpoint file (torch serialized dict with
+    ``step`` / ``network`` / ``optimizer`` entries, networks.py:30-38) and
+    port its network weights. Requires torch at call time only."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state_dict = ckpt["network"] if "network" in ckpt else ckpt
+    return port_reference_state_dict(state_dict, variables), ckpt.get("step")
