@@ -96,22 +96,81 @@ class ProfilerHook:
             self.active = False
 
 
+def measure_dispatch_latency_ms() -> float:
+    """Per-call dispatch latency of a tiny jitted op, in milliseconds.
+
+    On remote-attached backends (the tunneled axon TPU) each dispatch costs
+    ~2.7 ms of host->device command latency while a local backend is in the
+    tens of microseconds. ``block_until_ready`` resolves before execution
+    finishes on such backends, so timing is anchored on a host fetch: the
+    difference between (21 chained dispatches + 1 fetch) and (1 dispatch +
+    1 fetch) isolates 20 dispatches."""
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((), jnp.float32)
+    float(f(x))  # compile + first round trip
+
+    def timed(n: int) -> float:
+        t0 = timeit.default_timer()
+        y = x
+        for _ in range(n):
+            y = f(y)
+        float(y)
+        return timeit.default_timer() - t0
+
+    t1 = min(timed(1) for _ in range(3))
+    t21 = min(timed(21) for _ in range(3))
+    return max((t21 - t1) / 20.0 * 1e3, 0.0)
+
+
+def auto_steps_per_execution(log_freq: int, steps_per_epoch: int,
+                             dispatch_ms: float,
+                             threshold_ms: float = 0.5,
+                             max_k: int = 10) -> int:
+    """Pick the scan-fusion factor k for STEPS_PER_EXECUTION='auto': when the
+    per-step dispatch latency is material (> ``threshold_ms``), the largest
+    k <= ``max_k`` that divides both LOG_FREQ and steps/epoch — so the log
+    cadence and epoch accounting stay exact; otherwise 1."""
+    if dispatch_ms <= threshold_ms:
+        return 1
+    import math
+
+    g = math.gcd(int(log_freq), int(steps_per_epoch))
+    return max((d for d in range(1, max_k + 1) if g % d == 0), default=1)
+
+
 def _execution_plan(cfg, model, regime, mesh, loader):
     """Resolve STEPS_PER_EXECUTION: returns (k, step_fn, sharding_spec).
 
     k > 1 fuses k optimizer steps into one dispatch via lax.scan
     (train_lib.make_scanned_train_step) — worthwhile when dispatch latency
-    is material (remote-attached TPUs). Falls back to 1 when DEBUG or when
-    the epoch/log cadence does not divide evenly."""
+    is material (remote-attached TPUs). The default 'auto' probes dispatch
+    latency at trainer start and picks k itself; an explicit integer is
+    honored, falling back to 1 when DEBUG or when the epoch/log cadence does
+    not divide evenly."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from .parallel.mesh import DATA_AXIS
 
-    k = int(cfg.TRAINER.get('STEPS_PER_EXECUTION', 1))
-    if k > 1 and (cfg.DEBUG or len(loader) % k != 0 or cfg.LOG_FREQ % k != 0):
-        print(f'warning: STEPS_PER_EXECUTION={k} incompatible with '
-              f'steps/epoch={len(loader)} or LOG_FREQ={cfg.LOG_FREQ}; using 1')
-        k = 1
+    raw = cfg.TRAINER.get('STEPS_PER_EXECUTION', 'auto')
+    if isinstance(raw, str) and raw.lower() == 'auto':
+        if cfg.DEBUG:
+            k = 1
+        else:
+            ms = measure_dispatch_latency_ms()
+            k = auto_steps_per_execution(cfg.LOG_FREQ, len(loader), ms)
+            if k > 1:
+                print(f'dispatch latency {ms:.2f} ms/step -> '
+                      f'STEPS_PER_EXECUTION={k} (scan-fused)')
+    else:
+        k = int(raw)
+        if k > 1 and (cfg.DEBUG or len(loader) % k != 0
+                      or cfg.LOG_FREQ % k != 0):
+            print(f'warning: STEPS_PER_EXECUTION={k} incompatible with '
+                  f'steps/epoch={len(loader)} or LOG_FREQ={cfg.LOG_FREQ}; '
+                  f'using 1')
+            k = 1
     if k <= 1:
         return 1, train_lib.make_train_step(model, cfg, regime, mesh=mesh), \
             batch_sharding(mesh)
@@ -173,7 +232,45 @@ def _semisup_window_means(sets: dict, label_counts: list) -> dict:
     }
 
 
-def run_supervised(cfg) -> None:
+# Per-regime differences of the otherwise-identical training loop:
+#   keys            — device metric scalars accumulated per log window
+#   track_labels    — also collect (n_labeled, n_notlabeled) per batch
+#   debug_test_eval — DEBUG short-circuit runs a test eval first
+#                     (train_supervised.py:84-86; semisup just breaks,
+#                     train_semisupervised.py:123-124)
+#   ckpt_in_debug   — semisup checkpointing is NOT gated on DEBUG,
+#                     matching the reference (train_semisupervised.py:161-163)
+_REGIMES = {
+    'supervised': dict(
+        keys=('loss',), track_labels=False,
+        debug_test_eval=True, ckpt_in_debug=False),
+    'semisupervised': dict(
+        keys=('fusion_loss', 'stream1_loss', 'stream2_loss',
+              'loss', 'sup_loss', 'cons_loss'), track_labels=True,
+        debug_test_eval=False, ckpt_in_debug=True),
+    'dualtask': dict(
+        keys=('loss', 'sem_loss', 'change_loss'), track_labels=False,
+        debug_test_eval=True, ckpt_in_debug=False),
+}
+
+
+def _window_summary(regime: str, sets: dict, label_counts: list) -> dict:
+    """Reduce a log window's device scalars to the regime's wandb payload
+    (metric names and order match the reference scripts)."""
+    if regime == 'semisupervised':
+        return _semisup_window_means(sets, label_counts)
+    if regime == 'dualtask':
+        return {'change_loss': _mean(sets['change_loss']),
+                'sem_loss': _mean(sets['sem_loss']),
+                'loss': _mean(sets['loss']),
+                'labeled_percentage': 100}
+    return {'loss': _mean(sets['loss']), 'labeled_percentage': 100}
+
+
+def run_training(cfg, regime: str) -> None:
+    """The training driver shared by all three regimes; per-regime behavior
+    is confined to the _REGIMES table and _window_summary."""
+    spec = _REGIMES[regime]
     mesh = _training_mesh(cfg)
     print_run_config(cfg, f"{jax.default_backend()}[{mesh.size}]")
 
@@ -186,7 +283,7 @@ def run_supervised(cfg) -> None:
     save_checkpoints = cfg.SAVE_CHECKPOINTS
     steps_per_epoch = len(loader)
     k_exec, step_fn, stream_sharding = _execution_plan(
-        cfg, model, 'supervised', mesh, loader)
+        cfg, model, regime, mesh, loader)
 
     global_step, epoch_float = start_step, 0
     start_epoch = start_step // max(steps_per_epoch, 1)
@@ -196,78 +293,7 @@ def run_supervised(cfg) -> None:
     for epoch in range(start_epoch + 1, epochs + 1):
         print(f'Starting epoch {epoch}/{epochs}.')
         start = timeit.default_timer()
-        loss_set = []
-
-        for batch in _batch_stream(cfg, loader, k_exec, stream_sharding):
-            state, m = step_fn(state, batch['stack'], batch['is_labeled'], rng)
-            loss_set.append(m['loss'])
-
-            global_step += k_exec
-            profiler.step(global_step)
-            epoch_float = global_step / steps_per_epoch
-
-            if cfg.DEBUG:
-                evaluation.model_evaluation(model, state, cfg, 'test',
-                                            epoch_float, global_step)
-                break
-
-            if global_step % cfg.LOG_FREQ == 0:
-                print(f'Logging step {global_step} (epoch {epoch_float:.2f}).')
-                evaluation.model_evaluation(model, state, cfg, 'training',
-                                            epoch_float, global_step)
-                evaluation.model_evaluation(model, state, cfg, 'validation',
-                                            epoch_float, global_step)
-                time = timeit.default_timer() - start
-                wandb_compat.log({
-                    'loss': _mean(loss_set),
-                    'labeled_percentage': 100,
-                    'time': time,
-                    'step': global_step,
-                    'epoch': epoch_float,
-                })
-                start = timeit.default_timer()
-                loss_set = []
-
-        if not cfg.DEBUG and start_step % steps_per_epoch == 0:
-            assert epoch == epoch_float
-        print(f'epoch float {epoch_float} (step {global_step}) - epoch {epoch}')
-        evaluation.model_evaluation(model, state, cfg, 'training', epoch_float, global_step)
-        evaluation.model_evaluation(model, state, cfg, 'validation', epoch_float, global_step)
-        evaluation.model_evaluation(model, state, cfg, 'test', epoch_float, global_step)
-
-        if epoch in save_checkpoints and not cfg.DEBUG:
-            print('saving network', flush=True)
-            checkpoints.save_checkpoint(state, epoch, global_step, cfg)
-
-    profiler.close()
-
-
-def run_semisupervised(cfg) -> None:
-    mesh = _training_mesh(cfg)
-    print_run_config(cfg, f"{jax.default_backend()}[{mesh.size}]")
-
-    model, state, start_step = _create_or_resume(cfg)
-    profiler = ProfilerHook(cfg)
-    rng = jax.random.PRNGKey(cfg.SEED)
-
-    loader = _loader(cfg)
-    epochs = cfg.TRAINER.EPOCHS
-    save_checkpoints = cfg.SAVE_CHECKPOINTS
-    steps_per_epoch = len(loader)
-    k_exec, step_fn, stream_sharding = _execution_plan(
-        cfg, model, 'semisupervised', mesh, loader)
-
-    global_step, epoch_float = start_step, 0
-    start_epoch = start_step // max(steps_per_epoch, 1)
-    if start_epoch:
-        print(f'resuming at epoch {start_epoch + 1} '
-              f'(step {start_step}, {steps_per_epoch} steps/epoch)')
-    for epoch in range(start_epoch + 1, epochs + 1):
-        print(f'Starting epoch {epoch}/{epochs}.')
-        start = timeit.default_timer()
-        sets: dict[str, list] = {k: [] for k in (
-            'fusion_loss', 'stream1_loss', 'stream2_loss',
-            'loss', 'sup_loss', 'cons_loss')}
+        sets: dict[str, list] = {k: [] for k in spec['keys']}
         label_counts: list = []
 
         for batch in _batch_stream(cfg, loader, k_exec, stream_sharding):
@@ -275,13 +301,17 @@ def run_semisupervised(cfg) -> None:
             # keep device scalars; fetch only at log time
             for k in sets:
                 sets[k].append(m[k])
-            label_counts.append((m['n_labeled'], m['n_notlabeled']))
+            if spec['track_labels']:
+                label_counts.append((m['n_labeled'], m['n_notlabeled']))
 
             global_step += k_exec
             profiler.step(global_step)
             epoch_float = global_step / steps_per_epoch
 
             if cfg.DEBUG:
+                if spec['debug_test_eval']:
+                    evaluation.model_evaluation(model, state, cfg, 'test',
+                                                epoch_float, global_step)
                 break
 
             if global_step % cfg.LOG_FREQ == 0:
@@ -292,7 +322,7 @@ def run_semisupervised(cfg) -> None:
                                             epoch_float, global_step)
                 time = timeit.default_timer() - start
                 wandb_compat.log({
-                    **_semisup_window_means(sets, label_counts),
+                    **_window_summary(regime, sets, label_counts),
                     'time': time,
                     'step': global_step,
                     'epoch': epoch_float,
@@ -308,86 +338,23 @@ def run_semisupervised(cfg) -> None:
         evaluation.model_evaluation(model, state, cfg, 'validation', epoch_float, global_step)
         evaluation.model_evaluation(model, state, cfg, 'test', epoch_float, global_step)
 
-        # NB: checkpoint saving here is intentionally not gated on DEBUG,
-        # matching the reference (train_semisupervised.py:161-163).
-        if epoch in save_checkpoints:
+        if epoch in save_checkpoints and (spec['ckpt_in_debug'] or not cfg.DEBUG):
             print('saving network', flush=True)
             checkpoints.save_checkpoint(state, epoch, global_step, cfg)
 
     profiler.close()
+
+
+def run_supervised(cfg) -> None:
+    run_training(cfg, 'supervised')
+
+
+def run_semisupervised(cfg) -> None:
+    run_training(cfg, 'semisupervised')
 
 
 def run_dualtask(cfg) -> None:
-    mesh = _training_mesh(cfg)
-    print_run_config(cfg, f"{jax.default_backend()}[{mesh.size}]")
-
-    model, state, start_step = _create_or_resume(cfg)
-    profiler = ProfilerHook(cfg)
-    rng = jax.random.PRNGKey(cfg.SEED)
-
-    loader = _loader(cfg)
-    epochs = cfg.TRAINER.EPOCHS
-    save_checkpoints = cfg.SAVE_CHECKPOINTS
-    steps_per_epoch = len(loader)
-    k_exec, step_fn, stream_sharding = _execution_plan(
-        cfg, model, 'dualtask', mesh, loader)
-
-    global_step, epoch_float = start_step, 0
-    start_epoch = start_step // max(steps_per_epoch, 1)
-    if start_epoch:
-        print(f'resuming at epoch {start_epoch + 1} '
-              f'(step {start_step}, {steps_per_epoch} steps/epoch)')
-    for epoch in range(start_epoch + 1, epochs + 1):
-        print(f'Starting epoch {epoch}/{epochs}.')
-        start = timeit.default_timer()
-        loss_set, sem_loss_set, change_loss_set = [], [], []
-
-        for batch in _batch_stream(cfg, loader, k_exec, stream_sharding):
-            state, m = step_fn(state, batch['stack'], batch['is_labeled'], rng)
-            loss_set.append(m['loss'])
-            sem_loss_set.append(m['sem_loss'])
-            change_loss_set.append(m['change_loss'])
-
-            global_step += k_exec
-            profiler.step(global_step)
-            epoch_float = global_step / steps_per_epoch
-
-            if cfg.DEBUG:
-                evaluation.model_evaluation(model, state, cfg, 'test',
-                                            epoch_float, global_step)
-                break
-
-            if global_step % cfg.LOG_FREQ == 0:
-                print(f'Logging step {global_step} (epoch {epoch_float:.2f}).')
-                evaluation.model_evaluation(model, state, cfg, 'training',
-                                            epoch_float, global_step)
-                evaluation.model_evaluation(model, state, cfg, 'validation',
-                                            epoch_float, global_step)
-                time = timeit.default_timer() - start
-                wandb_compat.log({
-                    'change_loss': _mean(change_loss_set),
-                    'sem_loss': _mean(sem_loss_set),
-                    'loss': _mean(loss_set),
-                    'labeled_percentage': 100,
-                    'time': time,
-                    'step': global_step,
-                    'epoch': epoch_float,
-                })
-                start = timeit.default_timer()
-                loss_set, sem_loss_set, change_loss_set = [], [], []
-
-        if not cfg.DEBUG and start_step % steps_per_epoch == 0:
-            assert epoch == epoch_float
-        print(f'epoch float {epoch_float} (step {global_step}) - epoch {epoch}')
-        evaluation.model_evaluation(model, state, cfg, 'training', epoch_float, global_step)
-        evaluation.model_evaluation(model, state, cfg, 'validation', epoch_float, global_step)
-        evaluation.model_evaluation(model, state, cfg, 'test', epoch_float, global_step)
-
-        if epoch in save_checkpoints and not cfg.DEBUG:
-            print('saving network', flush=True)
-            checkpoints.save_checkpoint(state, epoch, global_step, cfg)
-
-    profiler.close()
+    run_training(cfg, 'dualtask')
 
 
 def seed_everything(seed: int) -> None:

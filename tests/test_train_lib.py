@@ -261,3 +261,30 @@ def test_batched_eval_matches_per_scene(cfg):
     for a, b in [(batched.TP, single.TP), (batched.TN, single.TN),
                  (batched.FP, single.FP), (batched.FN, single.FN)]:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1.0)
+
+
+def test_auto_steps_per_execution_divisor_logic():
+    """STEPS_PER_EXECUTION='auto' picks the largest k <= 10 dividing both
+    LOG_FREQ and steps/epoch when dispatch latency is material, else 1."""
+    from multimodal_siamese_cd_tpu.trainers import auto_steps_per_execution
+
+    # fast local backend -> no fusion
+    assert auto_steps_per_execution(100, 4000, dispatch_ms=0.01) == 1
+    # remote-attached backend (~2.7 ms on the tunneled TPU)
+    assert auto_steps_per_execution(100, 4000, dispatch_ms=2.7) == 10
+    assert auto_steps_per_execution(100, 4875, dispatch_ms=2.7) == 5
+    assert auto_steps_per_execution(12, 4000, dispatch_ms=2.7) == 4
+    # coprime cadences can only fuse k=1
+    assert auto_steps_per_execution(7, 9, dispatch_ms=2.7) == 1
+    # exactly at the threshold counts as cheap dispatch
+    assert auto_steps_per_execution(100, 4000, dispatch_ms=0.5) == 1
+
+
+def test_measure_dispatch_latency_probe():
+    from multimodal_siamese_cd_tpu.trainers import measure_dispatch_latency_ms
+
+    ms = measure_dispatch_latency_ms()
+    assert ms >= 0.0
+    # the virtual CPU backend dispatches locally; anything near the remote
+    # threshold would mean the probe is broken
+    assert ms < 0.5
