@@ -288,3 +288,46 @@ def test_measure_dispatch_latency_probe():
     # the virtual CPU backend dispatches locally; anything near the remote
     # threshold would mean the probe is broken
     assert ms < 0.5
+
+
+def test_run_measurer_streams_buckets(cfg, monkeypatch):
+    """run_measurer must evaluate each shape bucket as it fills instead of
+    materializing every padded scene before the first forward (the round-1
+    version held the entire split in RAM)."""
+    cfg.MODEL.TYPE = "siameseunet"
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+
+    events = []
+    real_forward = evaluation.eval_forward
+
+    def recording_forward(*args, **kwargs):
+        events.append("forward")
+        return real_forward(*args, **kwargs)
+
+    monkeypatch.setattr(evaluation, "eval_forward", recording_forward)
+
+    rng = np.random.default_rng(0)
+    n = 20
+
+    def items():
+        for _ in range(n):
+            events.append("yield")
+            yield {
+                "x_t1": rng.uniform(0, 1, (40, 40, 6)).astype(np.float32),
+                "x_t2": rng.uniform(0, 1, (40, 40, 6)).astype(np.float32),
+                "y_change": (rng.uniform(size=(40, 40, 1)) > 0.9
+                             ).astype(np.float32),
+            }
+
+    measurer = evaluation.run_measurer(model, state, items(),
+                                       np.array([0.5]))
+    # 20 same-shape scenes, group size 8 -> flushes after items 8 and 16,
+    # remainder of 4 at the end: forwards interleave with the stream.
+    assert events.count("forward") == 3
+    first_forward = events.index("forward")
+    assert first_forward < len(events) - 1 and events[first_forward - 1] == "yield"
+    assert events[:first_forward].count("yield") == 8
+    total = (np.asarray(measurer.TP) + np.asarray(measurer.TN)
+             + np.asarray(measurer.FP) + np.asarray(measurer.FN))
+    # 64-bucket padding is masked out: only the 40x40 real pixels count
+    assert float(total.max()) == n * 40 * 40
