@@ -83,3 +83,22 @@ def comparison_argument_parser() -> argparse.ArgumentParser:
         nargs=argparse.REMAINDER,
     )
     return parser
+
+
+def metadata_argument_parser() -> argparse.ArgumentParser:
+    """upload_study_area.py contract (reference upload_study_area.py:47-61):
+    ``-s/--spacenet7-dir`` (required), ``-c/--config-file`` (default 'base'),
+    trailing REMAINDER ``opts``."""
+    parser = argparse.ArgumentParser(description="Experiment Args")
+    parser.add_argument('-s', "--spacenet7-dir", dest='spacenet7_dir',
+                        required=True, help="path to SpaceNet7 dataset")
+    parser.add_argument('-c', "--config-file", dest='config_file',
+                        required=False, default="base",
+                        help="path to config file")
+    parser.add_argument(
+        "opts",
+        help="Modify config options using the command-line",
+        default=None,
+        nargs=argparse.REMAINDER,
+    )
+    return parser

@@ -96,10 +96,15 @@ def load_change_label_indices(spacenet7_path: str, aoi_id: str,
 def training_validation_split(spacenet7_path: str, split: float = 0.3,
                               seed: int = 7) -> tuple[list, list]:
     """The split generator that produced the config AOI lists (reference
-    spacenet7_helpers.py:84-97); returns (training, validation)."""
+    spacenet7_helpers.py:84-97); returns (training, validation).
+
+    Reproduction-faithful: the reference drew from the legacy global
+    MT19937 stream (``np.random.seed(seed); np.random.rand(n)``), so the
+    same draw is taken from a private ``RandomState`` (bit-identical
+    sequence, no global-state pollution) — regenerating splits yields the
+    reference's exact AOI assignment for the same seed."""
     aoi_ids = get_all_aoi_ids(spacenet7_path, 'train')
-    rand = np.random.default_rng(seed).random(len(aoi_ids))
-    # NB: reference used legacy np.random.seed + rand; same split fractions.
+    rand = np.random.RandomState(seed).rand(len(aoi_ids))
     validation = [a for a, r in zip(aoi_ids, rand) if r <= split]
     training = [a for a, r in zip(aoi_ids, rand) if r > split]
     return training, validation

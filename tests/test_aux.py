@@ -122,3 +122,83 @@ def test_split_generators(fixture_dataset):
         str(fixture_dataset), split=0.4, seed=7)
     assert set(train) | set(test) == set(dataset_helpers.aoi_ids(str(fixture_dataset)))
     assert not set(train) & set(test)
+
+
+def test_training_validation_split_legacy_sequence(tmp_path):
+    """The split generator must reproduce the reference's legacy global
+    MT19937 draw (np.random.seed(7); np.random.rand — reference
+    spacenet7_helpers.py:84-89) so regenerated splits assign AOIs exactly
+    as the shipped config lists were produced."""
+    import numpy as np
+
+    from multimodal_siamese_cd_tpu import spacenet7
+
+    aois = [f"L15-{i:04d}E-0001N_{i}_0_13" for i in range(10)]
+    for a in aois:
+        (tmp_path / "train" / a).mkdir(parents=True)
+
+    training, validation = spacenet7.training_validation_split(str(tmp_path))
+
+    # the legacy stream for seed 7 (stable across numpy versions: MT19937)
+    expected_rand = np.array([0.07630829, 0.77991879, 0.43840923, 0.72346518,
+                              0.97798951, 0.53849587, 0.50112046, 0.07205113,
+                              0.26843898, 0.4998825])
+    np.testing.assert_allclose(np.random.RandomState(7).rand(10),
+                               expected_rand, atol=1e-8)
+    exp_val = [a for a, r in zip(sorted(aois), expected_rand) if r <= 0.3]
+    exp_train = [a for a, r in zip(sorted(aois), expected_rand) if r > 0.3]
+    assert validation == exp_val
+    assert training == exp_train
+    # global numpy RNG state must not be touched by the generator
+    state_before = np.random.get_state()[1][:4].tolist()
+    spacenet7.training_validation_split(str(tmp_path))
+    assert np.random.get_state()[1][:4].tolist() == state_before
+
+
+def test_study_area_records(tmp_path):
+    """upload_study_area's pure core: per-AOI records carry the config-driven
+    split/labeled tags and the origin from the first masked image's affine
+    transform (exported schema of reference upload_study_area.py:15-44)."""
+    import numpy as np
+
+    import upload_study_area
+    from multimodal_siamese_cd_tpu import geofiles
+    from multimodal_siamese_cd_tpu.config import load_cfg
+
+    aois = {"train": ["aoiA", "aoiB", "aoiC"], "test": ["aoiD"]}
+    origin = {"aoiA": 10.0, "aoiB": 20.0, "aoiC": 30.0, "aoiD": 40.0}
+    for dataset, ids in aois.items():
+        for a in ids:
+            t = (1.0, 0.0, origin[a], 0.0, -1.0, origin[a] + 1)
+            geofiles.write_tif(
+                tmp_path / dataset / a / "images_masked" / f"{a}_m.tif",
+                np.zeros((4, 4, 3), np.uint8), t, "EPSG:3857")
+
+    cfg = load_cfg("base")
+    cfg.DATASET.TRAINING_IDS = ["aoiA"]
+    cfg.DATASET.VALIDATION_IDS = ["aoiB"]
+    cfg.DATASET.TEST_IDS = ["aoiD"]
+
+    records = upload_study_area.study_area_records(cfg, str(tmp_path))
+    by_id = {r["aoi_id"]: r for r in records}
+    assert set(by_id) == {"aoiA", "aoiB", "aoiC", "aoiD"}
+    assert (by_id["aoiA"]["split"], by_id["aoiA"]["labeled"]) == ("training", 1)
+    assert (by_id["aoiB"]["split"], by_id["aoiB"]["labeled"]) == ("validation", 1)
+    # aoiC is on no list -> unlabeled training pool
+    assert (by_id["aoiC"]["split"], by_id["aoiC"]["labeled"]) == ("training", 0)
+    assert (by_id["aoiD"]["split"], by_id["aoiD"]["labeled"]) == ("test", 1)
+    assert by_id["aoiB"]["x"] == 20.0 and by_id["aoiB"]["y"] == 21.0
+    assert by_id["aoiA"]["crs"] == "EPSG:3857"
+    # the export spec is contractual
+    assert upload_study_area.EXPORT_SPEC["fileNamePrefix"] == "siamese_ssl_aoi_ids"
+    assert upload_study_area.EXPORT_SPEC["fileFormat"] == "GeoJSON"
+
+
+def test_metadata_argument_parser_contract():
+    import upload_study_area
+
+    args = upload_study_area.metadata_argument_parser().parse_known_args(
+        ["-s", "/data/sn7", "KEY", "VALUE"])[0]
+    assert args.spacenet7_dir == "/data/sn7"
+    assert args.config_file == "base"
+    assert args.opts == ["KEY", "VALUE"]
