@@ -49,7 +49,11 @@ _BN_LEAVES = {
 def _to_numpy(v) -> np.ndarray:
     if hasattr(v, "detach"):  # torch tensor, without importing torch here
         v = v.detach().cpu().numpy()
-    return np.asarray(v)
+    # Always copy: tensor.numpy() shares memory with the live torch tensor,
+    # and the JAX CPU backend can zero-copy host arrays — without this, a
+    # later in-place torch update (e.g. BN running stats during a train-mode
+    # forward) would silently mutate the ported flax variables.
+    return np.array(v, copy=True)
 
 
 def _conv_kernel(w: np.ndarray) -> np.ndarray:

@@ -188,3 +188,64 @@ def test_dataparallel_prefix_and_checkpoint_roundtrip(ref_networks, tmp_path):
     j = model.apply(variables, x1, x2, train=False)
     np.testing.assert_allclose(
         np.asarray(j), t.numpy().transpose(0, 2, 3, 1), atol=1e-5, rtol=1e-5)
+
+
+def test_dualtask_train_mode_bn_stat_parity(ref_networks):
+    """Train-mode running-statistic updates must follow torch's sequential
+    semantics for the twice-applied shared modules of DualTaskSiameseUNet
+    (inc/encoder applied to t1 then t2; decoder_sem applied t2 then t1,
+    reference networks.py:176-195). Flax variable mutation is sequential
+    within one apply, so the retained stats match torch's double update —
+    this pins it. running_var differs only by torch's unbiased-variance
+    update (factor n/(n-1), n = N*H*W), negligible at training shapes."""
+    import torch
+
+    import jax
+    from multimodal_siamese_cd_tpu import torch_port
+    from multimodal_siamese_cd_tpu.models import create_network, init_variables
+
+    cfg = _cfg("dtsiameseunet")
+    tnet = ref_networks.DualTaskSiameseUNet(cfg)
+    _randomize(torch, tnet, seed=21)
+    tnet.train()
+
+    model = create_network(cfg)
+    variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+    variables = torch_port.port_reference_state_dict(
+        tnet.state_dict(), variables)
+
+    rng = np.random.default_rng(17)
+    x1 = rng.uniform(0, 1, (2, 32, 32, 6)).astype(np.float32)
+    x2 = rng.uniform(0, 1, (2, 32, 32, 6)).astype(np.float32)
+
+    with torch.no_grad():
+        t_outs = tnet(torch.from_numpy(x1.transpose(0, 3, 1, 2)),
+                      torch.from_numpy(x2.transpose(0, 3, 1, 2)))
+    j_outs, mutated = model.apply(variables, x1, x2, train=True,
+                                  mutable=["batch_stats"])
+
+    # train-mode outputs (normalized by batch stats) agree
+    for t, j in zip(t_outs, j_outs):
+        np.testing.assert_allclose(np.asarray(j),
+                                   t.numpy().transpose(0, 2, 3, 1),
+                                   atol=2e-5, rtol=1e-4)
+
+    # updated running stats agree leaf-for-leaf
+    torch_stats = dict(tnet.named_buffers())
+    checked = 0
+    for key, buf in torch_stats.items():
+        if not (key.endswith("running_mean") or key.endswith("running_var")):
+            continue
+        coll, path, fn = torch_port._translate_key(key)
+        assert coll == "batch_stats"
+        leaf = mutated["batch_stats"]
+        for p in path:
+            leaf = leaf[p]
+        kind = key.rsplit(".", 1)[1]
+        tol = dict(atol=1e-6, rtol=1e-5) if kind == "running_mean" else \
+            dict(atol=1e-6, rtol=2e-3)  # unbiased-var factor n/(n-1), n=2048
+        np.testing.assert_allclose(np.asarray(leaf), fn(buf.numpy()), **tol)
+        checked += 1
+    # every BN in inc/encoder/decoders compared: (1 inc + 2 down + 2x2 up)
+    # DoubleConvs x 2 BNs x 2 stats = 28 leaves for topology [16, 32]
+    assert checked == 28
