@@ -109,12 +109,48 @@ def _augment(stack, rng, cfg, layout):
         n_img_channels=layout["n_img"])
 
 
-def _apply_train(model, params, batch_stats, x_t1, x_t2, rng):
-    out, updates = model.apply(
-        {"params": params, "batch_stats": batch_stats},
-        x_t1, x_t2, train=True, mutable=["batch_stats"],
-        rngs={"dropout": rng})
-    return out, updates["batch_stats"]
+def _apply_train(model, params, batch_stats, x_t1, x_t2, rng, bn_groups=1):
+    """Train-mode forward. ``bn_groups > 1`` is the per-replica BatchNorm
+    mode (MODEL.SYNC_BN: False): the batch is split into ``bn_groups``
+    contiguous groups — one per mesh device, matching the leading-axis
+    sharding — and vmapped so BN statistics are computed per group, exactly
+    like ``nn.DataParallel``'s per-replica stats (SURVEY §2.12). The
+    retained running stats are group 0's (DataParallel keeps only device
+    0's buffer updates); the loss downstream still reduces over the full
+    gathered batch, as DataParallel's device-0 loss does. Default (1) is
+    sync-BN over the global batch."""
+    def fwd(a, b):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            a, b, train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng})
+        return out, updates["batch_stats"]
+
+    if bn_groups <= 1:
+        return fwd(x_t1, x_t2)
+
+    batch = x_t1.shape[0]
+    gb = batch // bn_groups
+    xs1 = x_t1.reshape(bn_groups, gb, *x_t1.shape[1:])
+    xs2 = x_t2.reshape(bn_groups, gb, *x_t2.shape[1:])
+    out, stats = jax.vmap(fwd)(xs1, xs2)
+    out = jax.tree_util.tree_map(
+        lambda o: o.reshape(batch, *o.shape[2:]), out)
+    new_stats = jax.tree_util.tree_map(lambda s: s[0], stats)
+    return out, new_stats
+
+
+def bn_group_count(cfg, mesh) -> int:
+    """Resolve MODEL.SYNC_BN into the per-replica group count for
+    ``_apply_train``: 1 (sync-BN, default) or the mesh size."""
+    sync = cfg.MODEL.get("SYNC_BN", True)
+    if sync or mesh is None or mesh.size <= 1:
+        return 1
+    if cfg.TRAINER.BATCH_SIZE % mesh.size:
+        raise ValueError(
+            f"MODEL.SYNC_BN: False needs TRAINER.BATCH_SIZE "
+            f"({cfg.TRAINER.BATCH_SIZE}) divisible by the {mesh.size}-device mesh")
+    return mesh.size
 
 
 # --------------------------------------------------------------------------
@@ -146,6 +182,7 @@ def make_supervised_train_step(model, cfg, mesh=None, jit: bool = True) -> Calla
     ``loss = criterion(logits, y_change)``; single-head models only."""
     criterion = losses.get_criterion(cfg.MODEL.LOSS_TYPE)
     layout = stack_layout(cfg)
+    bn_groups = bn_group_count(cfg, mesh)
 
     def step(state: TrainState, stack, is_labeled, rng):
         del is_labeled
@@ -155,7 +192,7 @@ def make_supervised_train_step(model, cfg, mesh=None, jit: bool = True) -> Calla
 
         def loss_fn(params):
             logits, new_stats = _apply_train(model, params, state.batch_stats,
-                                             x_t1, x_t2, drop_rng)
+                                             x_t1, x_t2, drop_rng, bn_groups)
             return criterion(logits, y_change), new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -189,6 +226,7 @@ def make_semisupervised_train_step(model, cfg, mesh=None, jit: bool = True) -> C
     cons_is_l2 = cfg.CONSISTENCY_TRAINER.LOSS_TYPE == "L2"
     alpha = float(cfg.CONSISTENCY_TRAINER.LOSS_FACTOR)
     layout = stack_layout(cfg)
+    bn_groups = bn_group_count(cfg, mesh)
 
     def step(state: TrainState, stack, is_labeled, rng):
         aug_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
@@ -202,7 +240,8 @@ def make_semisupervised_train_step(model, cfg, mesh=None, jit: bool = True) -> C
 
         def loss_fn(params):
             (logits_fusion, logits_s1, logits_s2), new_stats = _apply_train(
-                model, params, state.batch_stats, x_t1, x_t2, drop_rng)
+                model, params, state.batch_stats, x_t1, x_t2, drop_rng,
+                bn_groups)
             probs_s1 = jax.nn.sigmoid(logits_s1)
             probs_s2 = jax.nn.sigmoid(logits_s2)
 
@@ -245,6 +284,7 @@ def make_dualtask_train_step(model, cfg, mesh=None, jit: bool = True) -> Callabl
     change_criterion = losses.get_criterion(cfg.MODEL.LOSS_TYPE)
     sem_criterion = losses.get_criterion(cfg.MODEL.LOSS_TYPE)
     layout = stack_layout(cfg)
+    bn_groups = bn_group_count(cfg, mesh)
 
     def step(state: TrainState, stack, is_labeled, rng):
         del is_labeled
@@ -254,7 +294,8 @@ def make_dualtask_train_step(model, cfg, mesh=None, jit: bool = True) -> Callabl
 
         def loss_fn(params):
             (logits_change, logits_sem_t1, logits_sem_t2), new_stats = \
-                _apply_train(model, params, state.batch_stats, x_t1, x_t2, drop_rng)
+                _apply_train(model, params, state.batch_stats, x_t1, x_t2,
+                             drop_rng, bn_groups)
             change_loss = change_criterion(logits_change, y_change)
             sem_t1_loss = sem_criterion(logits_sem_t1, y_sem_t1)
             sem_t2_loss = sem_criterion(logits_sem_t2, y_sem_t2)

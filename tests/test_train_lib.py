@@ -331,3 +331,80 @@ def test_run_measurer_streams_buckets(cfg, monkeypatch):
              + np.asarray(measurer.FP) + np.asarray(measurer.FN))
     # 64-bucket padding is masked out: only the 40x40 real pixels count
     assert float(total.max()) == n * 40 * 40
+
+
+def test_per_replica_bn_grouped_forward(cfg):
+    """MODEL.SYNC_BN: False — _apply_train with bn_groups must equal running
+    each contiguous batch group through the model independently (DataParallel
+    per-replica BN, SURVEY §2.12), retaining group 0's running stats
+    (DataParallel keeps only device 0's buffer updates)."""
+    cfg.MODEL.TYPE = "siameseunet"
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(4)
+    groups, gb = 4, 2
+    x1 = rng.uniform(0, 1, (groups * gb, 16, 16, 6)).astype(np.float32)
+    x2 = rng.uniform(0, 1, (groups * gb, 16, 16, 6)).astype(np.float32)
+    drop = jax.random.PRNGKey(1)
+
+    out, stats = train_lib._apply_train(
+        model, state.params, state.batch_stats, x1, x2, drop,
+        bn_groups=groups)
+
+    per_group = []
+    for g in range(groups):
+        o, s = train_lib._apply_train(
+            model, state.params, state.batch_stats,
+            x1[g * gb:(g + 1) * gb], x2[g * gb:(g + 1) * gb], drop)
+        per_group.append((o, s))
+        if g == 0:
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=1e-6), stats, s)
+    expected = np.concatenate([np.asarray(o) for o, _ in per_group])
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+    # and it genuinely differs from sync-BN over the full batch
+    sync_out, _ = train_lib._apply_train(
+        model, state.params, state.batch_stats, x1, x2, drop)
+    assert np.abs(np.asarray(sync_out) - expected).max() > 1e-4
+
+
+def test_per_replica_bn_step_on_mesh(cfg):
+    """The SYNC_BN: False knob must run end-to-end through the jitted,
+    mesh-sharded train step for every regime."""
+    from multimodal_siamese_cd_tpu.parallel import batch_sharding, data_mesh
+
+    mesh = data_mesh(jax.devices()[:4])
+    cfg.MODEL.SYNC_BN = False
+    cfg.TRAINER.BATCH_SIZE = 8
+    for regime, model_type in [("supervised", "siameseunet"),
+                               ("semisupervised", "whatevernet"),
+                               ("dualtask", "dtsiameseunet")]:
+        cfg.MODEL.TYPE = model_type
+        if regime == "dualtask":
+            cfg.DATALOADER.INCLUDE_BUILDING_LABELS = True
+        model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+        step_fn = train_lib.make_train_step(model, cfg, regime, mesh=mesh)
+        batch = make_batch(cfg, regime,
+                           include_unlabeled=(regime == "semisupervised"))
+        # tile the fixture batch up to the full batch size (the tiny fixture
+        # split yields fewer samples than BATCH_SIZE)
+        reps = -(-cfg.TRAINER.BATCH_SIZE // batch["stack"].shape[0])
+        stack = np.tile(batch["stack"], (reps, 1, 1, 1))[:cfg.TRAINER.BATCH_SIZE]
+        lab = np.tile(batch["is_labeled"], reps)[:cfg.TRAINER.BATCH_SIZE]
+        stack = jax.device_put(stack, batch_sharding(mesh))
+        state, m = step_fn(state, stack, lab, jax.random.PRNGKey(3))
+        assert np.isfinite(float(m["loss"])), regime
+
+
+def test_bn_group_count_validation(cfg):
+    from multimodal_siamese_cd_tpu.parallel import data_mesh
+
+    mesh = data_mesh(jax.devices()[:4])
+    assert train_lib.bn_group_count(cfg, None) == 1
+    assert train_lib.bn_group_count(cfg, mesh) == 1  # SYNC_BN defaults True
+    cfg.MODEL.SYNC_BN = False
+    cfg.TRAINER.BATCH_SIZE = 8
+    assert train_lib.bn_group_count(cfg, mesh) == 4
+    cfg.TRAINER.BATCH_SIZE = 6
+    with pytest.raises(ValueError):
+        train_lib.bn_group_count(cfg, mesh)
