@@ -25,7 +25,7 @@ from multimodal_siamese_cd_tpu import (
 )
 from multimodal_siamese_cd_tpu.data.dataset import MultimodalCDDataset
 
-FONTSIZE = 16  # kept for API parity; PNG grids carry no text
+FONTSIZE = 16  # reference's matplotlib fontsize; here it scales the bitmap font
 
 
 def _dataset(cfg, run_type):
@@ -49,7 +49,9 @@ def qualitative_assessment_change(cfg, run_type: str = 'test') -> None:
         ]]
         out_file = (Path(cfg.PATHS.OUTPUT) / 'plots' / 'assessment_change_ssl'
                     / f"{item['aoi_id']}.png")
-        visualization.save_figure(out_file, panels)
+        visualization.save_figure(
+            out_file, panels, title=f"{cfg.NAME} {item['aoi_id']}",
+            col_titles=['t1', 't2', 'GT change', 'change from sem', 'change'])
 
 
 def qualitative_assessment_sem(cfg, run_type: str = 'validation') -> None:
@@ -68,7 +70,10 @@ def qualitative_assessment_sem(cfg, run_type: str = 'validation') -> None:
         ]
         out_file = (Path(cfg.PATHS.OUTPUT) / 'plots' / 'assessment_sem_ssl'
                     / f"{item['aoi_id']}.png")
-        visualization.save_figure(out_file, panels)
+        visualization.save_figure(
+            out_file, panels, title=f"{cfg.NAME} {item['aoi_id']}",
+            col_titles=['image', 'GT sem', 'pred sem'],
+            row_labels=['t1', 't2'])
 
 
 def quantitative_assessment(cfg, run_type: str = 'validation') -> None:

@@ -69,23 +69,58 @@ def classification_rgb(classification: np.ndarray) -> np.ndarray:
 
 
 def compose_grid(rows: list[list[np.ndarray]], pad: int = 4,
-                 background: int = 255) -> np.ndarray:
-    """Stack panels (RGB uint8, possibly differing sizes) into one image."""
+                 background: int = 255,
+                 col_titles: list | None = None,
+                 row_labels: list | None = None,
+                 title: str | None = None) -> np.ndarray:
+    """Stack panels (RGB uint8, possibly differing sizes) into one image.
+
+    ``col_titles`` / ``row_labels`` / ``title`` render annotation strips
+    with the embedded bitmap font — the PNG equivalent of the reference's
+    matplotlib titles/axis labels (qualitative_comparison.py:96-141)."""
+    from . import bitmap_font
+
     cell_h = max(p.shape[0] for row in rows for p in row)
     cell_w = max(p.shape[1] for row in rows for p in row)
     n_rows = len(rows)
     n_cols = max(len(r) for r in rows)
-    out = np.full((n_rows * (cell_h + pad) + pad,
-                   n_cols * (cell_w + pad) + pad, 3), background, np.uint8)
+
+    scale = max(1, min(3, cell_w // 100))
+    text_h = bitmap_font.GLYPH_H * scale
+    top = pad + (text_h + pad if title else 0) + \
+        (text_h + pad if col_titles else 0)
+    left = pad
+    if row_labels:
+        left += max(bitmap_font.text_width(t, scale) for t in row_labels) + pad
+
+    out = np.full((top + n_rows * (cell_h + pad),
+                   left + n_cols * (cell_w + pad), 3), background, np.uint8)
+    if title:
+        bitmap_font.draw_text(out, title, pad, left, scale)
+    if col_titles:
+        y = pad + (text_h + pad if title else 0)
+        for j, t in enumerate(col_titles[:n_cols]):
+            x = left + j * (cell_w + pad)
+            x += max((cell_w - bitmap_font.text_width(t, scale)) // 2, 0)
+            bitmap_font.draw_text(out, t, y, x, scale)
+    if row_labels:
+        for i, t in enumerate(row_labels[:n_rows]):
+            y = top + i * (cell_h + pad) + (cell_h - text_h) // 2
+            bitmap_font.draw_text(out, t, y, pad, scale)
+
     for i, row in enumerate(rows):
         for j, panel in enumerate(row):
             if panel.ndim == 2:
                 panel = np.repeat(panel[:, :, None], 3, axis=2)
-            y = pad + i * (cell_h + pad)
-            x = pad + j * (cell_w + pad)
+            y = top + i * (cell_h + pad)
+            x = left + j * (cell_w + pad)
             out[y:y + panel.shape[0], x:x + panel.shape[1]] = panel
     return out
 
 
-def save_figure(path: str | Path, rows: list[list[np.ndarray]], pad: int = 4) -> Path:
-    return png.write_png(path, compose_grid(rows, pad=pad))
+def save_figure(path: str | Path, rows: list[list[np.ndarray]], pad: int = 4,
+                col_titles: list | None = None, row_labels: list | None = None,
+                title: str | None = None) -> Path:
+    return png.write_png(path, compose_grid(
+        rows, pad=pad, col_titles=col_titles, row_labels=row_labels,
+        title=title))

@@ -24,7 +24,7 @@ from multimodal_siamese_cd_tpu import (
 )
 from multimodal_siamese_cd_tpu.data.dataset import MultimodalCDDataset
 
-FONTSIZE = 16
+FONTSIZE = 16  # reference fontsize; bitmap-font strips are auto-scaled
 
 
 def _predict_change(model, state, ds, aoi_id):
@@ -55,7 +55,9 @@ def qualitative_comparison(config_names: list, output_dir: str, dataset_dir: str
                 rows[i][1] = visualization.optical_rgb(item['x_t2'][:, :, n_s1:])
                 rows[i][2] = visualization.gray_rgb(item['y_change'])
     out_file = Path(output_dir) / 'plots' / 'qualitative_comparison.png'
-    return visualization.save_figure(out_file, rows)
+    return visualization.save_figure(
+        out_file, rows, col_titles=['t1', 't2', 'GT'] + list(config_names),
+        row_labels=list(aoi_ids))
 
 
 def qualitative_comparison_zoom(config_names: list, output_dir: str,
@@ -97,7 +99,9 @@ def qualitative_comparison_zoom(config_names: list, output_dir: str,
                 rows[i][2] = visualization.gray_rgb(gt)
     suffix = 'zoom_colored' if colored else 'zoom'
     out_file = Path(output_dir) / 'plots' / f'qualitative_comparison_{suffix}.png'
-    return visualization.save_figure(out_file, rows)
+    return visualization.save_figure(
+        out_file, rows, col_titles=['t1', 't2', 'GT'] + list(config_names),
+        row_labels=list(aoi_ids))
 
 
 def qualitative_comparison_zoom_selector(output_dir: str, dataset_dir: str,
@@ -124,7 +128,10 @@ def qualitative_comparison_zoom_selector(output_dir: str, dataset_dir: str,
         row[4] = visualization.gray_rgb(gt_change[window])
         rows.append(row)
     out_file = Path(output_dir) / 'plots' / 'zoom_selector.png'
-    return visualization.save_figure(out_file, rows)
+    return visualization.save_figure(
+        out_file, rows,
+        col_titles=['planet t1', 'sem t1', 'planet t2', 'sem t2', 'change'],
+        row_labels=list(aoi_ids))
 
 
 # Default AOI/zoom selections from the reference __main__

@@ -202,3 +202,48 @@ def test_metadata_argument_parser_contract():
     assert args.spacenet7_dir == "/data/sn7"
     assert args.config_file == "base"
     assert args.opts == ["KEY", "VALUE"]
+
+
+def test_bitmap_font_rendering():
+    import numpy as np
+
+    from multimodal_siamese_cd_tpu import bitmap_font
+
+    mask = bitmap_font.render_text("A1")
+    assert mask.shape == (7, 11)  # two 5-wide glyphs + 1 px space
+    assert mask.any()
+    # 'I' center column is lit through the middle rows
+    i_mask = bitmap_font.render_text("I")
+    assert i_mask[3, 2] and not i_mask[3, 0]
+    # unknown characters fall back to '?'
+    assert np.array_equal(bitmap_font.render_text("é"),
+                          bitmap_font.render_text("?"))
+
+    img = np.full((30, 60, 3), 255, np.uint8)
+    bitmap_font.draw_text(img, "OK", 2, 2, scale=2, color=(255, 0, 0))
+    assert (img == [255, 0, 0]).all(axis=-1).any()
+    # clipping at the edge must not raise
+    bitmap_font.draw_text(img, "CLIPPED", 28, 55, scale=2)
+
+
+def test_compose_grid_annotations(tmp_path):
+    import numpy as np
+
+    from multimodal_siamese_cd_tpu import png, visualization
+
+    panels = [[np.full((40, 40, 3), 200, np.uint8) for _ in range(3)]
+              for _ in range(2)]
+    plain = visualization.compose_grid(panels)
+    annotated = visualization.compose_grid(
+        panels, col_titles=["t1", "t2", "GT"], row_labels=["aoi_a", "aoi_b"],
+        title="model comparison")
+    # annotation strips make the figure strictly larger and add dark pixels
+    assert annotated.shape[0] > plain.shape[0]
+    assert annotated.shape[1] > plain.shape[1]
+    assert (annotated == 0).any() and not (plain == 0).any()
+    out = visualization.save_figure(
+        tmp_path / "fig.png", panels, col_titles=["t1", "t2", "GT"],
+        row_labels=["aoi_a", "aoi_b"], title="model comparison")
+    round_trip = png.read_png(out)
+    assert round_trip.shape[:2] == annotated.shape[:2]
+    assert np.array_equal(round_trip[..., :3], annotated)
