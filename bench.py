@@ -84,10 +84,15 @@ def main() -> int:
         state, m = step_fn(state, stacks, is_labeled, rng)
     float(m["loss"])  # host fetch = true synchronization
 
+    # Dispatch all calls back-to-back and fetch ONCE at the end: the calls
+    # chain through `state`, so the fetched loss existing implies every step
+    # completed — an honest total, without serializing the tunnel's ~25 ms
+    # fetch RTT into each window (a production trainer fetches metrics every
+    # LOG_FREQ=100 steps, far less often than this).
     t0 = time.perf_counter()
     for _ in range(args.calls):
         state, m = step_fn(state, stacks, is_labeled, rng)
-        loss = float(m["loss"])
+    loss = float(m["loss"])
     dt = time.perf_counter() - t0
 
     n_steps = args.calls * k

@@ -266,11 +266,12 @@ def device_augment_batch(stack, rng, *, flip: bool, rotate: bool,
         rest = x[..., n_img_channels:]
         if color_shift:
             factors = jax.random.uniform(k_color, (b, 1, 1, n_img_channels),
-                                         minval=0.5, maxval=1.5)
+                                         minval=0.5, maxval=1.5,
+                                         dtype=imgs.dtype)
             imgs = jnp.clip(imgs * factors, 0.0, 1.0)
         if gamma:
             g = jax.random.uniform(k_gamma, (b, 1, 1, n_img_channels),
-                                   minval=0.25, maxval=2.0)
+                                   minval=0.25, maxval=2.0, dtype=imgs.dtype)
             imgs = jnp.clip(jnp.power(imgs, g), 0.0, 1.0)
         x = jnp.concatenate([imgs, rest], axis=-1)
     return x

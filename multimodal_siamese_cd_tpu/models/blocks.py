@@ -19,6 +19,16 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .packed import (
+    PackedDoubleConv,
+    PackedDoubleConvPair,
+    PackedUpsample,
+    _PackedConv1x1,
+    pack,
+    packed_max_pool,
+    unpack,
+)
+
 Dtype = Any
 
 
@@ -43,14 +53,20 @@ class DoubleConv(nn.Module):
 
 
 class InConv(nn.Module):
-    """Stem block (reference networks.py:405-412)."""
+    """Stem block (reference networks.py:405-412). ``packed=True`` runs the
+    full-res level in the vertically-packed layout (see :mod:`.packed`) and
+    returns a PACKED feature map; parameters are identical either way."""
 
     out_ch: int
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool,
+                 packed: bool = False) -> jnp.ndarray:
+        if packed:
+            return PackedDoubleConv(self.out_ch, self.dtype,
+                                    name="conv")(pack(x), train)
         return DoubleConv(self.out_ch, self.dtype, self.bn_axis_name,
                           name="conv")(x, train)
 
@@ -71,9 +87,11 @@ class Down(nn.Module):
     bn_axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool,
+                 packed_input: bool = False) -> jnp.ndarray:
+        x = packed_max_pool(x) if packed_input else max_pool_2x2(x)
         return DoubleConv(self.out_ch, self.dtype, self.bn_axis_name,
-                          name="conv")(max_pool_2x2(x), train)
+                          name="conv")(x, train)
 
 
 class Up(nn.Module):
@@ -87,7 +105,23 @@ class Up(nn.Module):
     bn_axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, train: bool,
+                 packed: bool = False) -> jnp.ndarray:
+        if packed:
+            # x2 arrives PACKED (the InConv skip); upsample straight into
+            # the packed layout. Heights match by construction (packing
+            # requires even H, so the pool/upsample round trip is lossless
+            # vertically); only width may need the pad-to-skip. The skip
+            # concat is LOGICAL (weight-split pair conv) — materializing a
+            # packed concat costs 64-lane shuffles.
+            x1 = PackedUpsample(self.up_ch, self.dtype, name="up")(x1)
+            dw = x2.shape[2] - x1.shape[2]
+            if dw:
+                x1 = jnp.pad(x1, ((0, 0), (0, 0),
+                                  (dw // 2, dw - dw // 2), (0, 0)))
+            # skip first (networks.py:449)
+            return PackedDoubleConvPair(self.out_ch, self.dtype,
+                                        name="conv")(x2, x1, train)
         x1 = nn.ConvTranspose(self.up_ch, (2, 2), strides=(2, 2),
                               padding="VALID", use_bias=True,
                               dtype=self.dtype, name="up")(x1)
@@ -104,13 +138,26 @@ class Up(nn.Module):
 
 class OutConv(nn.Module):
     """1x1 projection head (reference networks.py:454-461). Logits are
-    emitted in fp32 regardless of the compute dtype."""
+    emitted in fp32 regardless of the compute dtype.
+
+    ``packed=True`` consumes packed activations (block-diagonal packed
+    weights) and unpacks AFTER the channel reduction, so only the tiny
+    out_ch-wide tensor is transposed. An optional second operand ``x2`` is
+    the logical channel-concat partner (DualStream/WhateverNet fusion
+    heads) — in packed mode it is folded in weight-split form instead of a
+    materialized concat."""
 
     out_ch: int
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, x2: jnp.ndarray | None = None,
+                 packed: bool = False) -> jnp.ndarray:
+        if packed:
+            y = _PackedConv1x1(self.out_ch, self.dtype, name="conv")(x, x2)
+            return unpack(y).astype(jnp.float32)
+        if x2 is not None:
+            x = jnp.concatenate([x, x2], axis=-1)
         x = nn.Conv(self.out_ch, (1, 1), use_bias=True, dtype=self.dtype,
                     name="conv")(x)
         return x.astype(jnp.float32)
@@ -132,11 +179,13 @@ class Encoder(nn.Module):
     bn_axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x1: jnp.ndarray, train: bool) -> list[jnp.ndarray]:
+    def __call__(self, x1: jnp.ndarray, train: bool,
+                 packed_input: bool = False) -> list[jnp.ndarray]:
         feats = [x1]
         for idx, out_ch in enumerate(encoder_widths(self.topology)):
             feats.append(Down(out_ch, self.dtype, self.bn_axis_name,
-                              name=f"down{idx + 1}")(feats[-1], train))
+                              name=f"down{idx + 1}")(
+                feats[-1], train, packed_input=packed_input and idx == 0))
         return feats[::-1]
 
 
@@ -155,7 +204,8 @@ class Decoder(nn.Module):
     bn_axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, features: list[jnp.ndarray], train: bool) -> jnp.ndarray:
+    def __call__(self, features: list[jnp.ndarray], train: bool,
+                 packed_skip: bool = False) -> jnp.ndarray:
         up_topo = decoder_up_topology(self.topology)
         n_layers = len(self.topology)
         x1 = features[0]
@@ -164,5 +214,6 @@ class Decoder(nn.Module):
             in_dim = up_topo[idx] * 2
             out_dim = up_topo[x2_idx]
             x1 = Up(in_dim // 2, out_dim, self.dtype, self.bn_axis_name,
-                    name=f"up{idx + 1}")(x1, features[i + 1], train)
+                    name=f"up{idx + 1}")(x1, features[i + 1], train,
+                                         packed=packed_skip and idx == 0)
         return x1

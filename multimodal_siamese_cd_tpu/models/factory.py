@@ -46,20 +46,29 @@ def create_network(cfg):
     out_ch = cfg.MODEL.OUT_CHANNELS
     dtype = compute_dtype(cfg)
     bn_axis = cfg.MODEL.get("BN_AXIS_NAME", None)
+    # Exact-math packed layout for the full-resolution level (models/
+    # packed.py): same parameters and results (fp reassociation only), big
+    # MXU win on TPU. Defaults on; MODEL.PACKED_FULLRES: False restores the
+    # reference-shaped graph bit-for-bit.
+    packed = bool(cfg.MODEL.get("PACKED_FULLRES", True))
     n_s1 = len(cfg.DATALOADER.S1_BANDS)
 
     if model_type == 'unet':
-        return networks.UNet(topology, out_ch, dtype, bn_axis)
+        return networks.UNet(topology, out_ch, dtype, bn_axis, packed)
     if model_type == 'dualstreamunet':
-        return networks.DualStreamUNet(topology, n_s1, out_ch, dtype, bn_axis)
+        return networks.DualStreamUNet(topology, n_s1, out_ch, dtype,
+                                       bn_axis, packed)
     if model_type == 'siameseunet':
-        return networks.SiameseUNet(topology, out_ch, dtype, bn_axis)
+        return networks.SiameseUNet(topology, out_ch, dtype, bn_axis, packed)
     if model_type == 'dtsiameseunet':
-        return networks.DualTaskSiameseUNet(topology, out_ch, dtype, bn_axis)
+        return networks.DualTaskSiameseUNet(topology, out_ch, dtype,
+                                            bn_axis, packed)
     if model_type == 'whatevernet':
-        return networks.WhateverNet(topology, n_s1, out_ch, dtype, bn_axis)
+        return networks.WhateverNet(topology, n_s1, out_ch, dtype,
+                                    bn_axis, packed)
     if model_type == 'whatevernet2':
-        return networks.WhateverNet2(topology, n_s1, out_ch, dtype, bn_axis)
+        return networks.WhateverNet2(topology, n_s1, out_ch, dtype,
+                                     bn_axis, packed)
     if model_type == 'siamunet_diff':
         return networks.SiamUnetDiff(out_ch, dtype)
     raise Exception(f'Unknown network ({model_type}).')

@@ -43,6 +43,15 @@ def _diff(features_t1: list, features_t2: list) -> list:
     return [f2 - f1 for f1, f2 in zip(features_t1, features_t2)]
 
 
+def _use_packed(module, x_t1) -> bool:
+    """Static (trace-time) decision to run the full-res level in the
+    vertically-packed layout (models/packed.py): exact-math perf layout,
+    needs even height and the plain (non-shard_map-synced) BN path."""
+    return (module.packed_fullres and module.bn_axis_name is None
+            and x_t1.shape[1] % 2 == 0)
+
+
+
 class UNet(nn.Module):
     """Early-fusion U-Net (reference networks.py:59-79)."""
 
@@ -50,14 +59,20 @@ class UNet(nn.Module):
     out_channels: int = 1
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: str | None = None
+    packed_fullres: bool = True
 
     @nn.compact
     def __call__(self, x_t1, x_t2, train: bool = False):
+        pk = _use_packed(self, x_t1)
         x = jnp.concatenate([x_t1, x_t2], axis=-1)
-        x = InConv(self.topology[0], self.dtype, self.bn_axis_name, name="inc")(x, train)
-        feats = Encoder(self.topology, self.dtype, self.bn_axis_name, name="encoder")(x, train)
-        x = Decoder(self.topology, self.dtype, self.bn_axis_name, name="decoder")(feats, train)
-        return OutConv(self.out_channels, self.dtype, name="outc")(x)
+        x = InConv(self.topology[0], self.dtype, self.bn_axis_name,
+                   name="inc")(x, train, packed=pk)
+        feats = Encoder(self.topology, self.dtype, self.bn_axis_name,
+                        name="encoder")(x, train, packed_input=pk)
+        x = Decoder(self.topology, self.dtype, self.bn_axis_name,
+                    name="decoder")(feats, train, packed_skip=pk)
+        return OutConv(self.out_channels, self.dtype,
+                       name="outc")(x, packed=pk)
 
 
 class DualStreamUNet(nn.Module):
@@ -70,23 +85,26 @@ class DualStreamUNet(nn.Module):
     out_channels: int = 1
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: str | None = None
+    packed_fullres: bool = True
 
     @nn.compact
     def __call__(self, x_t1, x_t2, train: bool = False):
+        pk = _use_packed(self, x_t1)
+
         def stream(name: str, a, b):
             x = jnp.concatenate([a, b], axis=-1)
             x = InConv(self.topology[0], self.dtype, self.bn_axis_name,
-                       name=f"inc_{name}")(x, train)
+                       name=f"inc_{name}")(x, train, packed=pk)
             feats = Encoder(self.topology, self.dtype, self.bn_axis_name,
-                            name=f"encoder_{name}")(x, train)
+                            name=f"encoder_{name}")(x, train, packed_input=pk)
             return Decoder(self.topology, self.dtype, self.bn_axis_name,
-                           name=f"decoder_{name}")(feats, train)
+                           name=f"decoder_{name}")(feats, train, packed_skip=pk)
 
         k = self.n_s1_bands
         d1 = stream("stream1", x_t1[..., :k], x_t2[..., :k])
         d2 = stream("stream2", x_t1[..., k:], x_t2[..., k:])
-        x = jnp.concatenate([d1, d2], axis=-1)
-        return OutConv(self.out_channels, self.dtype, name="outc")(x)
+        return OutConv(self.out_channels, self.dtype,
+                       name="outc")(d1, d2, packed=pk)
 
 
 class SiameseUNet(nn.Module):
@@ -97,16 +115,19 @@ class SiameseUNet(nn.Module):
     out_channels: int = 1
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: str | None = None
+    packed_fullres: bool = True
 
     @nn.compact
     def __call__(self, x_t1, x_t2, train: bool = False):
+        pk = _use_packed(self, x_t1)
         inc = InConv(self.topology[0], self.dtype, self.bn_axis_name, name="inc")
         enc = Encoder(self.topology, self.dtype, self.bn_axis_name, name="encoder")
-        f_t1 = enc(inc(x_t1, train), train)
-        f_t2 = enc(inc(x_t2, train), train)
+        f_t1 = enc(inc(x_t1, train, packed=pk), train, packed_input=pk)
+        f_t2 = enc(inc(x_t2, train, packed=pk), train, packed_input=pk)
         x = Decoder(self.topology, self.dtype, self.bn_axis_name,
-                    name="decoder")(_diff(f_t1, f_t2), train)
-        return OutConv(self.out_channels, self.dtype, name="outc")(x)
+                    name="decoder")(_diff(f_t1, f_t2), train, packed_skip=pk)
+        return OutConv(self.out_channels, self.dtype,
+                       name="outc")(x, packed=pk)
 
 
 class DualTaskSiameseUNet(nn.Module):
@@ -118,6 +139,7 @@ class DualTaskSiameseUNet(nn.Module):
     out_channels: int = 1
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: str | None = None
+    packed_fullres: bool = True
 
     def setup(self):
         self.inc = InConv(self.topology[0], self.dtype, self.bn_axis_name, name="inc")
@@ -132,11 +154,18 @@ class DualTaskSiameseUNet(nn.Module):
         self.outc_sem_change = OutConv(1, self.dtype)
 
     def __call__(self, x_t1, x_t2, train: bool = False):
-        f_t1 = self.encoder(self.inc(x_t1, train), train)
-        f_t2 = self.encoder(self.inc(x_t2, train), train)
-        out_change = self.outc_change(self.decoder_change(_diff(f_t1, f_t2), train))
-        out_sem_t2 = self.outc_sem(self.decoder_sem(f_t2, train))
-        out_sem_t1 = self.outc_sem(self.decoder_sem(f_t1, train))
+        pk = _use_packed(self, x_t1)
+        f_t1 = self.encoder(self.inc(x_t1, train, packed=pk), train,
+                            packed_input=pk)
+        f_t2 = self.encoder(self.inc(x_t2, train, packed=pk), train,
+                            packed_input=pk)
+        out_change = self.outc_change(
+            self.decoder_change(_diff(f_t1, f_t2), train, packed_skip=pk),
+            packed=pk)
+        out_sem_t2 = self.outc_sem(
+            self.decoder_sem(f_t2, train, packed_skip=pk), packed=pk)
+        out_sem_t1 = self.outc_sem(
+            self.decoder_sem(f_t1, train, packed_skip=pk), packed=pk)
         if self.is_initializing():
             # The aux head takes no part in the forward pass (reference
             # networks.py:174) but must exist in the checkpointed parameter
@@ -162,26 +191,31 @@ class WhateverNet(nn.Module):
     out_channels: int = 1
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: str | None = None
+    packed_fullres: bool = True
 
     @nn.compact
     def __call__(self, x_t1, x_t2, train: bool = False):
+        pk = _use_packed(self, x_t1)
+
         def stream(name: str, a, b):
             inc = InConv(self.topology[0], self.dtype, self.bn_axis_name,
                          name=f"inc_{name}")
             enc = Encoder(self.topology, self.dtype, self.bn_axis_name,
                           name=f"encoder_{name}")
-            f_a = enc(inc(a, train), train)
-            f_b = enc(inc(b, train), train)
+            f_a = enc(inc(a, train, packed=pk), train, packed_input=pk)
+            f_b = enc(inc(b, train, packed=pk), train, packed_input=pk)
             dec = Decoder(self.topology, self.dtype, self.bn_axis_name,
-                          name=f"decoder_{name}")(_diff(f_a, f_b), train)
-            out = OutConv(self.out_channels, self.dtype, name=f"outc_{name}")(dec)
+                          name=f"decoder_{name}")(_diff(f_a, f_b), train,
+                                                  packed_skip=pk)
+            out = OutConv(self.out_channels, self.dtype,
+                          name=f"outc_{name}")(dec, packed=pk)
             return dec, out
 
         k = self.n_s1_bands
         d1, out_stream1 = stream("stream1", x_t1[..., :k], x_t2[..., :k])
         d2, out_stream2 = stream("stream2", x_t1[..., k:], x_t2[..., k:])
-        x_fusion = jnp.concatenate([d1, d2], axis=-1)
-        out_fusion = OutConv(self.out_channels, self.dtype, name="outc_fusion")(x_fusion)
+        out_fusion = OutConv(self.out_channels, self.dtype,
+                             name="outc_fusion")(d1, d2, packed=pk)
         if train:
             return out_fusion, out_stream1, out_stream2
         return out_fusion
@@ -196,25 +230,29 @@ class WhateverNet2(nn.Module):
     out_channels: int = 1
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: str | None = None
+    packed_fullres: bool = True
 
     @nn.compact
     def __call__(self, x_t1, x_t2, train: bool = False):
+        pk = _use_packed(self, x_t1)
+
         def stream(name: str, a, b):
             x = jnp.concatenate([a, b], axis=-1)
             x = InConv(self.topology[0], self.dtype, self.bn_axis_name,
-                       name=f"inc_{name}")(x, train)
+                       name=f"inc_{name}")(x, train, packed=pk)
             feats = Encoder(self.topology, self.dtype, self.bn_axis_name,
-                            name=f"encoder_{name}")(x, train)
+                            name=f"encoder_{name}")(x, train, packed_input=pk)
             dec = Decoder(self.topology, self.dtype, self.bn_axis_name,
-                          name=f"decoder_{name}")(feats, train)
-            out = OutConv(self.out_channels, self.dtype, name=f"outc_{name}")(dec)
+                          name=f"decoder_{name}")(feats, train, packed_skip=pk)
+            out = OutConv(self.out_channels, self.dtype,
+                          name=f"outc_{name}")(dec, packed=pk)
             return dec, out
 
         k = self.n_s1_bands
         d1, out_stream1 = stream("stream1", x_t1[..., :k], x_t2[..., :k])
         d2, out_stream2 = stream("stream2", x_t1[..., k:], x_t2[..., k:])
-        x_fusion = jnp.concatenate([d1, d2], axis=-1)
-        out_fusion = OutConv(self.out_channels, self.dtype, name="outc_fusion")(x_fusion)
+        out_fusion = OutConv(self.out_channels, self.dtype,
+                             name="outc_fusion")(d1, d2, packed=pk)
         if train:
             return out_fusion, out_stream1, out_stream2
         return out_fusion

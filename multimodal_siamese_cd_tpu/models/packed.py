@@ -1,0 +1,307 @@
+"""Vertically-packed (space-to-depth 2x1) full-resolution U-Net layer.
+
+Why: on TPU the MXU contracts over 128-wide channel tiles; the model's
+full-resolution level has only 64 channels, so its convs run at ~40 TF/s
+while every deeper level sustains ~180-190 (measured, tools/bench_conv_
+clean.py). Packing two image rows into channels makes the full-res level a
+128-channel problem at half the height: the SAME 3x3 conv becomes a 50%-
+dense 3x3 conv over 128 lanes, which measures 1.47x faster for the full
+training gradient (tools/bench_conv_pack2x1.py) — and max-pool's vertical
+reduction becomes a free channel max.
+
+This is an EXACT algebraic reformulation (same math, fp reassociation
+only), not an architecture change: parameters keep their standard shapes
+and names (kernel (3,3,Cin,Cout), BN scale/bias/mean/var of size C), so
+checkpoints, goldens and the torch port are interchangeable with the
+unpacked path. Derivations:
+
+  packed activation  X'[b, i, j, di*C + c] = X[b, 2i + di, j, c]
+  conv3x3            W'[p+1, q, di*Ci+ci, oi*Co+co] = W[2p+di-oi+1, q, ci, co]
+                     (zero where the row tap 2p+di-oi+1 is outside [0, 2];
+                      'SAME' padding in packed rows supplies the original
+                      one-row halo exactly)
+  conv-transpose 2x2/s2 (flax VALID semantics)
+                     K'[0, dj, c, di*Co+co] = K[1-di, dj, c, co]
+                     applied with kernel (1,2), strides (1,2)
+  max-pool 2x2/s2    max(X'[..., :C], X'[..., C:]) then a horizontal
+                     (1,2)/s(1,2) window -> standard (unpacked) layout
+  BatchNorm          per-logical-channel stats combine the two equal-count
+                     packed groups: mean = (m0+m1)/2, E[x^2] likewise
+                     (bit-matching flax's mean2 - mean^2 form)
+
+Requires even input height; callers fall back to the unpacked path
+otherwise (evaluation pads scenes to 64-multiples, so training and eval
+shapes are always even).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+Dtype = Any
+
+
+def pack(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H//2, W, 2C); packed channel = di*C + c."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w, c).transpose(0, 1, 3, 2, 4).reshape(
+        b, h // 2, w, 2 * c)
+
+
+def unpack(xp: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`pack`."""
+    b, hh, w, c2 = xp.shape
+    c = c2 // 2
+    return xp.reshape(b, hh, w, 2, c).transpose(0, 1, 3, 2, 4).reshape(
+        b, 2 * hh, w, c)
+
+
+def pack_conv3x3_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Ci, Co) -> (3, 3, 2Ci, 2Co), 50% dense (see module docstring)."""
+    _, _, ci, co = w.shape
+    wp = jnp.zeros((3, 3, 2 * ci, 2 * co), w.dtype)
+    for oi in range(2):
+        for di in range(2):
+            for p in (-1, 0, 1):
+                k_row = 2 * p + di - oi + 1
+                if 0 <= k_row <= 2:
+                    wp = wp.at[p + 1, :, di * ci:(di + 1) * ci,
+                               oi * co:(oi + 1) * co].set(w[k_row])
+    return wp
+
+
+def pack_conv_transpose_weights(k: jnp.ndarray) -> jnp.ndarray:
+    """flax ConvTranspose (2, 2, Ci, Co) -> packed (1, 2, Ci, 2Co)."""
+    return jnp.stack(
+        [jnp.concatenate([k[1 - di, dj] for di in range(2)], axis=-1)
+         for dj in range(2)], axis=0)[None]
+
+
+def packed_max_pool(xp: jnp.ndarray) -> jnp.ndarray:
+    """2x2/s2 max pool of the packed input -> standard (unpacked) layout.
+
+    Vertical reduction = channel max over the two packed groups; horizontal
+    = (1,2)/s(1,2) window. Odd trailing columns are dropped (torch floor
+    semantics, like blocks.max_pool_2x2)."""
+    c = xp.shape[-1] // 2
+    v = jnp.maximum(xp[..., :c], xp[..., c:])
+    w = v.shape[2] - v.shape[2] % 2
+    v = v[:, :, :w]
+    return nn.max_pool(v, (1, 2), strides=(1, 2))
+
+
+def packed_concat(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Packed representation of channel-concat(A, B): group-wise reorder
+    [a0, b0, a1, b1] (packed channels are di-major)."""
+    ca, cb = a.shape[-1] // 2, b.shape[-1] // 2
+    return jnp.concatenate(
+        [a[..., :ca], b[..., :cb], a[..., ca:], b[..., cb:]], axis=-1)
+
+
+class PackedConv3x3(nn.Module):
+    """3x3/s1 SAME conv on packed activations. Parameters are the STANDARD
+    nn.Conv ones (kernel (3,3,in,out), bias (out)) — packed on the fly."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, xp: jnp.ndarray) -> jnp.ndarray:
+        cin = xp.shape[-1] // 2
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        wp = pack_conv3x3_weights(kernel).astype(self.dtype)
+        y = jnp.asarray(
+            lax.conv_general_dilated(
+                xp.astype(self.dtype), wp, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        return y + jnp.tile(bias, 2).astype(self.dtype)
+
+
+class PackedBatchNorm(nn.Module):
+    """BatchNorm over packed activations with per-LOGICAL-channel statistics
+    — numerics identical to flax nn.BatchNorm on the unpacked tensor
+    (momentum 0.9, eps 1e-5, f32 stats). Parameter/stat names and shapes
+    match nn.BatchNorm (scale/bias, mean/var of size C)."""
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, xp: jnp.ndarray) -> jnp.ndarray:
+        c = xp.shape[-1] // 2
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = xp.astype(jnp.float32)
+            m = jnp.mean(xf, axis=(0, 1, 2))
+            m2 = jnp.mean(xf * xf, axis=(0, 1, 2))
+            mean = 0.5 * (m[:c] + m[c:])
+            var = 0.5 * (m2[:c] + m2[c:]) - mean * mean
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+
+        # mirror flax nn.BatchNorm's arithmetic order exactly:
+        # y = (x - mean) * (scale * rsqrt(var + eps)) + bias
+        mul = (scale * lax.rsqrt(var + self.epsilon)).astype(self.dtype)
+        return ((xp.astype(self.dtype) - jnp.tile(mean, 2).astype(self.dtype))
+                * jnp.tile(mul, 2) + jnp.tile(bias, 2).astype(self.dtype))
+
+
+class PackedDoubleConv(nn.Module):
+    """(3x3 conv -> BN -> ReLU) * 2 on packed activations; variable tree
+    matches blocks.DoubleConv (conv1/bn1/conv2/bn2)."""
+
+    out_ch: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, xp: jnp.ndarray, train: bool) -> jnp.ndarray:
+        for i in range(2):
+            xp = PackedConv3x3(self.out_ch, self.dtype,
+                               name=f"conv{i + 1}")(xp)
+            xp = PackedBatchNorm(use_running_average=not train,
+                                 dtype=self.dtype, name=f"bn{i + 1}")(xp)
+            xp = nn.relu(xp)
+        return xp
+
+
+class PackedUpsample(nn.Module):
+    """ConvTranspose(2x2, s2) from standard input to PACKED output;
+    parameters match nn.ConvTranspose (kernel (2,2,in,out), bias)."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (2, 2, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        kp = pack_conv_transpose_weights(kernel).astype(self.dtype)
+        y = lax.conv_transpose(
+            x.astype(self.dtype), kp, (1, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + jnp.tile(bias, 2).astype(self.dtype)
+
+
+class PackedConv3x3Pair(nn.Module):
+    """3x3 conv over the LOGICAL channel-concat of two packed operands,
+    without materializing the concat: conv(cat(a, b), W) = conv(a, W_a) +
+    conv(b, W_b). Lane-sized packed groups stay whole (the materialized
+    packed concat needs 64-lane shuffles that measured ~4.7x slower,
+    tools/bench notes). Parameter shapes match the concat conv's
+    (kernel (3, 3, ca+cb, out))."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        ca, cb = a.shape[-1] // 2, b.shape[-1] // 2
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, ca + cb, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        wa = pack_conv3x3_weights(kernel[:, :, :ca]).astype(self.dtype)
+        wb = pack_conv3x3_weights(kernel[:, :, ca:]).astype(self.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+        y = (lax.conv_general_dilated(a.astype(self.dtype), wa, (1, 1),
+                                      "SAME", dimension_numbers=dn)
+             + lax.conv_general_dilated(b.astype(self.dtype), wb, (1, 1),
+                                        "SAME", dimension_numbers=dn))
+        return y + jnp.tile(bias, 2).astype(self.dtype)
+
+
+class PackedDoubleConvPair(nn.Module):
+    """PackedDoubleConv whose first conv consumes two packed operands as a
+    logical concat (skip-first, matching Up's cat order). Variable tree
+    matches blocks.DoubleConv."""
+
+    out_ch: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, a: jnp.ndarray, b: jnp.ndarray, train: bool) -> jnp.ndarray:
+        x = PackedConv3x3Pair(self.out_ch, self.dtype, name="conv1")(a, b)
+        x = nn.relu(PackedBatchNorm(use_running_average=not train,
+                                    dtype=self.dtype, name="bn1")(x))
+        x = PackedConv3x3(self.out_ch, self.dtype, name="conv2")(x)
+        x = nn.relu(PackedBatchNorm(use_running_average=not train,
+                                    dtype=self.dtype, name="bn2")(x))
+        return x
+
+
+class _PackedConv1x1(nn.Module):
+    """1x1 conv on packed operand(s) with block-diagonal packed weights;
+    parameter names/shapes match nn.Conv's (kernel (1, 1, cin, out))."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, a: jnp.ndarray, b: jnp.ndarray | None = None) -> jnp.ndarray:
+        ca = a.shape[-1] // 2
+        cb = b.shape[-1] // 2 if b is not None else 0
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, ca + cb, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+
+        def block_diag(w):  # (1,1,ci,co) -> (1,1,2ci,2co), di==oi blocks
+            ci = w.shape[2]
+            wp = jnp.zeros((1, 1, 2 * ci, 2 * self.features), w.dtype)
+            for d in range(2):
+                wp = wp.at[:, :, d * ci:(d + 1) * ci,
+                           d * self.features:(d + 1) * self.features].set(w)
+            return wp
+
+        dn = ("NHWC", "HWIO", "NHWC")
+        y = lax.conv_general_dilated(
+            a.astype(self.dtype), block_diag(kernel[:, :, :ca]).astype(self.dtype),
+            (1, 1), "SAME", dimension_numbers=dn)
+        if b is not None:
+            y = y + lax.conv_general_dilated(
+                b.astype(self.dtype),
+                block_diag(kernel[:, :, ca:]).astype(self.dtype),
+                (1, 1), "SAME", dimension_numbers=dn)
+        return y + jnp.tile(bias, 2).astype(self.dtype)
+
+
+class PackedOutConv(nn.Module):
+    """OutConv (1x1 head, blocks.OutConv) on packed input(s); returns the
+    UNPACKED fp32 logits. Unpacking happens after the channel reduction, so
+    the big-activation transpose disappears (out_ch is 1). Variable tree
+    matches OutConv (child 'conv')."""
+
+    out_ch: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, a: jnp.ndarray, b: jnp.ndarray | None = None) -> jnp.ndarray:
+        y = _PackedConv1x1(self.out_ch, self.dtype, name="conv")(a, b)
+        return unpack(y).astype(jnp.float32)

@@ -82,9 +82,10 @@ def split_stack(stack: jnp.ndarray, layout: dict):
     s1_t2 = stack[..., n_s1:2 * n_s1]
     s2_t1 = stack[..., 2 * n_s1:2 * n_s1 + n_s2]
     s2_t2 = stack[..., 2 * n_s1 + n_s2:n_img]
-    y_sem_t1 = stack[..., n_img:n_img + 1]
-    y_sem_t2 = stack[..., n_img + 1:n_img + 2]
-    y_change = stack[..., n_img + 2:n_img + 3]
+    # labels in f32: loss reductions must not accumulate in bf16
+    y_sem_t1 = stack[..., n_img:n_img + 1].astype(jnp.float32)
+    y_sem_t2 = stack[..., n_img + 1:n_img + 2].astype(jnp.float32)
+    y_change = stack[..., n_img + 2:n_img + 3].astype(jnp.float32)
 
     mode = layout["input_mode"]
     if mode == "s1":
@@ -99,9 +100,15 @@ def split_stack(stack: jnp.ndarray, layout: dict):
 
 def _augment(stack, rng, cfg, layout):
     a = cfg.AUGMENTATION
-    # Batches may arrive in the f16 wire format (half the H2D bytes);
-    # upcast on device before augmentation math.
-    stack = stack.astype(jnp.float32)
+    # Augment in the model's compute dtype (bf16 by default): the 5
+    # elementwise augmentation passes are HBM-bound, so halving the bytes
+    # halves their cost (~1.4 ms/step at batch 8). Flips/rot90 are exact in
+    # any dtype and the label planes are {0,1} (exact in bf16); gamma's pow
+    # rounds at the model's own bf16 input precision. Labels are upcast to
+    # f32 in split_stack before any loss reduction.
+    from .models.factory import compute_dtype
+
+    stack = stack.astype(compute_dtype(cfg))
     return device_augment_batch(
         stack, rng,
         flip=bool(a.RANDOM_FLIP), rotate=bool(a.RANDOM_ROTATE),

@@ -26,7 +26,10 @@ GOLDEN = {
 def test_golden_forward(model_type):
     cfg = CfgNode({
         "MODEL": {"TYPE": model_type, "IN_CHANNELS": 3, "OUT_CHANNELS": 1,
-                  "TOPOLOGY": [8, 16]},
+                  "TOPOLOGY": [8, 16],
+                  # goldens pin the reference-shaped graph; the packed
+                  # layout is covered by tests/test_packed.py equivalence
+                  "PACKED_FULLRES": False},
         "DATALOADER": {"INPUT_MODE": "s1s2", "S1_BANDS": [0, 1],
                        "S2_BANDS": [2, 1, 0, 3]},
         "TRAINER": {"PRECISION": "fp32"},
