@@ -13,21 +13,43 @@ This is an EXACT algebraic reformulation (same math, fp reassociation
 only), not an architecture change: parameters keep their standard shapes
 and names (kernel (3,3,Cin,Cout), BN scale/bias/mean/var of size C), so
 checkpoints, goldens and the torch port are interchangeable with the
-unpacked path. Derivations:
+unpacked path.
 
-  packed activation  X'[b, i, j, di*C + c] = X[b, 2i + di, j, c]
-  conv3x3            W'[p+1, q, di*Ci+ci, oi*Co+co] = W[2p+di-oi+1, q, ci, co]
-                     (zero where the row tap 2p+di-oi+1 is outside [0, 2];
-                      'SAME' padding in packed rows supplies the original
-                      one-row halo exactly)
+The 3x3 convs inside DoubleConv use a STAGGERED variant that cuts the
+packed FLOP overhead from 2x the logical work to 1.33x (measured 1.37x
+faster for the full DoubleConv gradient, tools/bench_conv_stag.py): a
+(3,3) conv written directly on the packed layout needs a (3,3,2Ci,2Co)
+kernel that is only 50% dense, because the even/odd output phases read
+row windows offset by one packed row. Shifting the odd output phase down
+one packed slot ("staggered" packing, height H'+1 with one spurious slot
+at each end) aligns both phases on a single 2-row window, so conv1 is a
+75%-dense (2,3,2Ci,2Co) kernel mapping packed -> staggered, and conv2 is
+another 75%-dense (2,3) kernel mapping staggered -> packed. The spurious
+slots are zeroed with fused iota masks, which reproduces 'SAME' zero
+padding exactly; BatchNorm between the convs divides its (zero-padded)
+sums by the true element count. Derivations:
+
+  packed activation    X'[b, i, j, di*C + c] = X[b, 2i + di, j, c]
+  staggered activation S[i, g0] = Y[2i] (i < H'), S[i, g1] = Y[2i-1] (i > 0);
+                       S[H', g0] and S[0, g1] are the zeroed spurious slots
+  conv1 (packed X' -> staggered S, row pad (1,1)):
+                       S[i] = sum_{p in 0,1} W1'[p] . X'[i-1+p]
+                       W1'[0] = [[0,  W0], [W0, W1]]  (di x oi blocks)
+                       W1'[1] = [[W1, W2], [W2, 0 ]]
+  conv2 (staggered S -> packed Y2', rows VALID):
+                       Y2'[i] = sum_{p in 0,1} W2'[p] . S[i+p]
+                       W2'[0] = [[W1, W0], [W0, 0 ]]
+                       W2'[1] = [[0,  W2], [W2, W1]]
   conv-transpose 2x2/s2 (flax VALID semantics)
-                     K'[0, dj, c, di*Co+co] = K[1-di, dj, c, co]
-                     applied with kernel (1,2), strides (1,2)
-  max-pool 2x2/s2    max(X'[..., :C], X'[..., C:]) then a horizontal
-                     (1,2)/s(1,2) window -> standard (unpacked) layout
-  BatchNorm          per-logical-channel stats combine the two equal-count
-                     packed groups: mean = (m0+m1)/2, E[x^2] likewise
-                     (bit-matching flax's mean2 - mean^2 form)
+                       K'[0, dj, c, di*Co+co] = K[1-di, dj, c, co]
+                       applied with kernel (1,2), strides (1,2)
+  max-pool 2x2/s2      max(X'[..., :C], X'[..., C:]) then a horizontal
+                       (1,2)/s(1,2) window -> standard (unpacked) layout
+  BatchNorm            per-logical-channel stats combine the two equal-count
+                       packed groups: mean = (m0+m1)/2, E[x^2] likewise
+                       (bit-matching flax's mean2 - mean^2 form); on a
+                       staggered tensor the group sums additionally skip the
+                       zeroed spurious row in the divisor
 
 Requires even input height; callers fall back to the unpacked path
 otherwise (evaluation pads scenes to 64-multiples, so training and eval
@@ -60,18 +82,38 @@ def unpack(xp: jnp.ndarray) -> jnp.ndarray:
         b, 2 * hh, w, c)
 
 
-def pack_conv3x3_weights(w: jnp.ndarray) -> jnp.ndarray:
-    """(3, 3, Ci, Co) -> (3, 3, 2Ci, 2Co), 50% dense (see module docstring)."""
-    _, _, ci, co = w.shape
-    wp = jnp.zeros((3, 3, 2 * ci, 2 * co), w.dtype)
-    for oi in range(2):
-        for di in range(2):
-            for p in (-1, 0, 1):
-                k_row = 2 * p + di - oi + 1
-                if 0 <= k_row <= 2:
-                    wp = wp.at[p + 1, :, di * ci:(di + 1) * ci,
-                               oi * co:(oi + 1) * co].set(w[k_row])
-    return wp
+def stagger_conv1_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Ci, Co) -> (2, 3, 2Ci, 2Co), 75% dense: packed -> staggered
+    (see module docstring)."""
+    z = jnp.zeros_like(w[0])
+    return jnp.stack([
+        jnp.concatenate([jnp.concatenate([z, w[0]], -1),         # di=0
+                         jnp.concatenate([w[0], w[1]], -1)], 1),  # di=1
+        jnp.concatenate([jnp.concatenate([w[1], w[2]], -1),
+                         jnp.concatenate([w[2], z], -1)], 1),
+    ])
+
+
+def stagger_conv2_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Ci, Co) -> (2, 3, 2Ci, 2Co), 75% dense: staggered -> packed
+    (see module docstring)."""
+    z = jnp.zeros_like(w[0])
+    return jnp.stack([
+        jnp.concatenate([jnp.concatenate([w[1], w[0]], -1),
+                         jnp.concatenate([w[0], z], -1)], 1),
+        jnp.concatenate([jnp.concatenate([z, w[2]], -1),
+                         jnp.concatenate([w[2], w[1]], -1)], 1),
+    ])
+
+
+def zero_spurious(s: jnp.ndarray) -> jnp.ndarray:
+    """Zero a staggered tensor's spurious slots [0, g1] and [H', g0] with
+    broadcasted-iota masks (fuses into the surrounding elementwise chain)."""
+    c = s.shape[-1] // 2
+    row = lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    ch = lax.broadcasted_iota(jnp.int32, s.shape, 3)
+    spur = ((row == 0) & (ch >= c)) | ((row == s.shape[1] - 1) & (ch < c))
+    return jnp.where(spur, jnp.zeros((), s.dtype), s)
 
 
 def pack_conv_transpose_weights(k: jnp.ndarray) -> jnp.ndarray:
@@ -102,9 +144,10 @@ def packed_concat(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         [a[..., :ca], b[..., :cb], a[..., ca:], b[..., cb:]], axis=-1)
 
 
-class PackedConv3x3(nn.Module):
-    """3x3/s1 SAME conv on packed activations. Parameters are the STANDARD
-    nn.Conv ones (kernel (3,3,in,out), bias (out)) — packed on the fly."""
+class StaggerConv1(nn.Module):
+    """3x3/s1 SAME conv, packed input -> STAGGERED output (75%-dense (2,3)
+    kernel, spurious slots zeroed). Parameters are the STANDARD nn.Conv
+    ones (kernel (3,3,in,out), bias (out)) — restructured on the fly."""
 
     features: int
     dtype: Dtype = jnp.bfloat16
@@ -117,11 +160,32 @@ class PackedConv3x3(nn.Module):
             (3, 3, cin, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
-        wp = pack_conv3x3_weights(kernel).astype(self.dtype)
-        y = jnp.asarray(
-            lax.conv_general_dilated(
-                xp.astype(self.dtype), wp, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        ws = stagger_conv1_weights(kernel).astype(self.dtype)
+        y = lax.conv_general_dilated(
+            xp.astype(self.dtype), ws, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return zero_spurious(y + jnp.tile(bias, 2).astype(self.dtype))
+
+
+class StaggerConv2(nn.Module):
+    """3x3/s1 SAME conv, STAGGERED input -> packed output (75%-dense (2,3)
+    kernel, rows VALID). Same standard parameter shapes as StaggerConv1."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, s: jnp.ndarray) -> jnp.ndarray:
+        cin = s.shape[-1] // 2
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        ws = stagger_conv2_weights(kernel).astype(self.dtype)
+        y = lax.conv_general_dilated(
+            s.astype(self.dtype), ws, (1, 1), ((0, 0), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return y + jnp.tile(bias, 2).astype(self.dtype)
 
 
@@ -135,6 +199,9 @@ class PackedBatchNorm(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: Dtype = jnp.bfloat16
+    # Input is STAGGERED: height carries one extra (zeroed) spurious slot
+    # per group, so group sums are divided by the true element count.
+    staggered: bool = False
 
     @nn.compact
     def __call__(self, xp: jnp.ndarray) -> jnp.ndarray:
@@ -150,8 +217,10 @@ class PackedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             xf = xp.astype(jnp.float32)
-            m = jnp.mean(xf, axis=(0, 1, 2))
-            m2 = jnp.mean(xf * xf, axis=(0, 1, 2))
+            b, h, w, _ = xf.shape
+            cnt = b * (h - 1 if self.staggered else h) * w
+            m = jnp.sum(xf, axis=(0, 1, 2)) / cnt
+            m2 = jnp.sum(xf * xf, axis=(0, 1, 2)) / cnt
             mean = 0.5 * (m[:c] + m[c:])
             var = 0.5 * (m2[:c] + m2[c:]) - mean * mean
             if not self.is_initializing():
@@ -168,21 +237,25 @@ class PackedBatchNorm(nn.Module):
 
 
 class PackedDoubleConv(nn.Module):
-    """(3x3 conv -> BN -> ReLU) * 2 on packed activations; variable tree
-    matches blocks.DoubleConv (conv1/bn1/conv2/bn2)."""
+    """(3x3 conv -> BN -> ReLU) * 2 on packed activations via the staggered
+    intermediate layout; variable tree matches blocks.DoubleConv
+    (conv1/bn1/conv2/bn2). Input and output are standard-packed."""
 
     out_ch: int
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, xp: jnp.ndarray, train: bool) -> jnp.ndarray:
-        for i in range(2):
-            xp = PackedConv3x3(self.out_ch, self.dtype,
-                               name=f"conv{i + 1}")(xp)
-            xp = PackedBatchNorm(use_running_average=not train,
-                                 dtype=self.dtype, name=f"bn{i + 1}")(xp)
-            xp = nn.relu(xp)
-        return xp
+        s = StaggerConv1(self.out_ch, self.dtype, name="conv1")(xp)
+        s = PackedBatchNorm(use_running_average=not train, dtype=self.dtype,
+                            staggered=True, name="bn1")(s)
+        # BN's affine shift revives the spurious slots; re-zero them (the
+        # mask fuses into this elementwise chain).
+        s = zero_spurious(nn.relu(s))
+        x = StaggerConv2(self.out_ch, self.dtype, name="conv2")(s)
+        x = PackedBatchNorm(use_running_average=not train, dtype=self.dtype,
+                            name="bn2")(x)
+        return nn.relu(x)
 
 
 class PackedUpsample(nn.Module):
@@ -207,8 +280,8 @@ class PackedUpsample(nn.Module):
         return y + jnp.tile(bias, 2).astype(self.dtype)
 
 
-class PackedConv3x3Pair(nn.Module):
-    """3x3 conv over the LOGICAL channel-concat of two packed operands,
+class StaggerConv1Pair(nn.Module):
+    """StaggerConv1 over the LOGICAL channel-concat of two packed operands,
     without materializing the concat: conv(cat(a, b), W) = conv(a, W_a) +
     conv(b, W_b). Lane-sized packed groups stay whole (the materialized
     packed concat needs 64-lane shuffles that measured ~4.7x slower,
@@ -226,14 +299,15 @@ class PackedConv3x3Pair(nn.Module):
             (3, 3, ca + cb, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
-        wa = pack_conv3x3_weights(kernel[:, :, :ca]).astype(self.dtype)
-        wb = pack_conv3x3_weights(kernel[:, :, ca:]).astype(self.dtype)
+        wa = stagger_conv1_weights(kernel[:, :, :ca]).astype(self.dtype)
+        wb = stagger_conv1_weights(kernel[:, :, ca:]).astype(self.dtype)
         dn = ("NHWC", "HWIO", "NHWC")
+        pad = ((1, 1), (1, 1))
         y = (lax.conv_general_dilated(a.astype(self.dtype), wa, (1, 1),
-                                      "SAME", dimension_numbers=dn)
+                                      pad, dimension_numbers=dn)
              + lax.conv_general_dilated(b.astype(self.dtype), wb, (1, 1),
-                                        "SAME", dimension_numbers=dn))
-        return y + jnp.tile(bias, 2).astype(self.dtype)
+                                        pad, dimension_numbers=dn))
+        return zero_spurious(y + jnp.tile(bias, 2).astype(self.dtype))
 
 
 class PackedDoubleConvPair(nn.Module):
@@ -246,13 +320,14 @@ class PackedDoubleConvPair(nn.Module):
 
     @nn.compact
     def __call__(self, a: jnp.ndarray, b: jnp.ndarray, train: bool) -> jnp.ndarray:
-        x = PackedConv3x3Pair(self.out_ch, self.dtype, name="conv1")(a, b)
-        x = nn.relu(PackedBatchNorm(use_running_average=not train,
-                                    dtype=self.dtype, name="bn1")(x))
-        x = PackedConv3x3(self.out_ch, self.dtype, name="conv2")(x)
-        x = nn.relu(PackedBatchNorm(use_running_average=not train,
-                                    dtype=self.dtype, name="bn2")(x))
-        return x
+        s = StaggerConv1Pair(self.out_ch, self.dtype, name="conv1")(a, b)
+        s = PackedBatchNorm(use_running_average=not train, dtype=self.dtype,
+                            staggered=True, name="bn1")(s)
+        s = zero_spurious(nn.relu(s))
+        x = StaggerConv2(self.out_ch, self.dtype, name="conv2")(s)
+        x = PackedBatchNorm(use_running_average=not train, dtype=self.dtype,
+                            name="bn2")(x)
+        return nn.relu(x)
 
 
 class _PackedConv1x1(nn.Module):
