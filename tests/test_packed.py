@@ -91,6 +91,24 @@ def test_packed_matches_unpacked(model_type):
                                    err_msg=str(path))
 
 
+def test_packed_matches_unpacked_odd_width():
+    """Odd WIDTH stays on the packed path (only even height is required):
+    the encoder pool drops the trailing column and Up pads the upsampled map
+    back to the skip width — must match the unpacked path exactly."""
+    m_std = create_network(_cfg("siameseunet", packed=False))
+    m_pk = create_network(_cfg("siameseunet", packed=True))
+    variables = init_variables(m_std, _cfg("siameseunet", False),
+                               jax.random.PRNGKey(3))
+    rng = np.random.default_rng(7)
+    x1 = jnp.asarray(rng.uniform(size=(2, 32, 31, 6)), jnp.float32)
+    x2 = jnp.asarray(rng.uniform(size=(2, 32, 31, 6)), jnp.float32)
+    a = m_std.apply(variables, x1, x2, train=False)
+    b = m_pk.apply(variables, x1, x2, train=False)
+    assert a.shape == b.shape == (2, 32, 31, 1)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_odd_height_falls_back_unpacked():
     """Odd-height inputs silently run the unpacked path (same module,
     same params)."""
