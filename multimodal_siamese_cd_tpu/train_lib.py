@@ -329,7 +329,8 @@ def make_train_step(model, cfg, regime: str, mesh=None, jit: bool = True) -> Cal
     raise ValueError(f"unknown training regime {regime!r}")
 
 
-def make_scanned_train_step(model, cfg, regime: str, mesh=None) -> Callable:
+def make_scanned_train_step(model, cfg, regime: str, mesh=None,
+                            unroll: int = 1) -> Callable:
     """K optimizer steps fused into ONE jitted dispatch via ``lax.scan``.
 
     Takes ``(state, stacks, is_labeled, rng)`` where ``stacks`` is
@@ -341,6 +342,8 @@ def make_scanned_train_step(model, cfg, regime: str, mesh=None) -> Callable:
     This amortizes host->device dispatch across K steps: the trainer's
     log-window arithmetic is unchanged because it already averages metrics
     between log points. Batches are sharded over the mesh on axis 1.
+    ``unroll`` is forwarded to ``lax.scan`` (XLA can elide loop-carry
+    staging copies across unrolled iterations, at higher compile cost).
     """
     body = make_train_step(model, cfg, regime, mesh=None, jit=False)
 
@@ -349,7 +352,8 @@ def make_scanned_train_step(model, cfg, regime: str, mesh=None) -> Callable:
             stack, lab = xs
             return body(s, stack, lab, rng)
 
-        state, metrics = jax.lax.scan(f, state, (stacks, is_labeled))
+        state, metrics = jax.lax.scan(f, state, (stacks, is_labeled),
+                                      unroll=unroll)
         if "n_labeled" in metrics:
             # Semi-supervised window reduction mirrors the per-step trainer
             # protocol: component losses average only over scanned steps

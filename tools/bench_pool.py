@@ -96,11 +96,33 @@ def timed(fn, x, n1):
     return (run_n(2 * n1) - run_n(n1)) / n1
 
 
+def pool_reshape(xp):
+    """Same pool as pool_ref but the horizontal window is reshape+reduce-max:
+    no select_and_scatter in the backward (reduce_max's vjp is an eq-mask
+    select that fuses; ties split evenly instead of first-column routing)."""
+    c = xp.shape[-1] // 2
+    v = jnp.maximum(xp[..., :c], xp[..., c:])
+    w = v.shape[2] - v.shape[2] % 2
+    v = v[:, :, :w]
+    b, h = v.shape[0], v.shape[1]
+    return jnp.max(v.reshape(b, h, w // 2, 2, c), axis=3)
+
+
+def pool22_ref(x):
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+def pool22_reshape(x):
+    b, h, w, c = x.shape
+    return jnp.max(x.reshape(b, h // 2, 2, w // 2, 2, c), axis=(2, 4))
+
+
 def bench():
     rng = np.random.default_rng(0)
     xp = jnp.asarray(rng.normal(0, 1, (8, 128, 256, 128)), jnp.bfloat16)
 
-    for name, pool in [("autodiff", pool_ref), ("custom-vjp", pool_fast)]:
+    for name, pool in [("autodiff", pool_ref), ("custom-vjp", pool_fast),
+                       ("reshape-max", pool_reshape)]:
         def step(x):
             def loss(x):
                 y = pool(x)
@@ -108,6 +130,19 @@ def bench():
             g = jax.grad(loss)(x)
             return x - 1e-6 * g
         t = timed(step, xp, 200)
+        print(f"{name} pool fwd+bwd: {t*1e3:6.3f} ms")
+
+    # unpacked 2x2 pool at the deeper levels (down2: 128ch@128px input)
+    xd = jnp.asarray(rng.normal(0, 1, (8, 128, 128, 128)), jnp.bfloat16)
+    for name, pool in [("2x2 window", pool22_ref),
+                       ("2x2 reshape-max", pool22_reshape)]:
+        def step(x):
+            def loss(x):
+                y = pool(x)
+                return jnp.sum((y * y).astype(jnp.float32))
+            g = jax.grad(loss)(x)
+            return x - 1e-6 * g
+        t = timed(step, xd, 200)
         print(f"{name} pool fwd+bwd: {t*1e3:6.3f} ms")
 
 

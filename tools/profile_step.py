@@ -34,24 +34,39 @@ for _ in range(2):
     _ = float(m["loss"])
 jax.profiler.stop_trace()
 
-# parse newest trace.json.gz
+# parse newest trace.json.gz: device-lane events carry hlo_category,
+# long_name and bytes_accessed in args (pid mapped to '/device:TPU:N')
 traces = sorted(glob.glob(out + "/**/*trace.json.gz", recursive=True))
 assert traces, "no trace written"
 with gzip.open(traces[-1], "rt") as f:
     data = json.load(f)
-ev = [e for e in data.get("traceEvents", []) if e.get("ph") == "X"]
-# keep only device-lane events (TensorCore ops have 'dur' and names like fusion.N)
-by_name = defaultdict(float)
-total = 0.0
+ev = data.get("traceEvents", [])
+dev_pids = {e["pid"] for e in ev
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+            and "device:" in str(e.get("args", {}).get("name", ""))}
+N_STEPS = 2 * K  # two profiled calls of K scanned steps each
+
+by_cat = defaultdict(float)
+by_op = defaultdict(lambda: [0.0, 0.0, ""])  # name -> [sec, bytes, long_name]
 for e in ev:
-    name = e.get("name", "")
-    if name.startswith(("thread", "process")) or "args" not in e:
-        pass
+    if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+        continue
+    args = e.get("args", {})
+    if "hlo_category" not in args:
+        continue
     dur = e.get("dur", 0) / 1e6  # us -> s
-    pid = e.get("pid", 0)
-    tid_name = ""
-    by_name[name] += dur
-ranked = sorted(by_name.items(), key=lambda kv: -kv[1])
-print("top ops by total trace time:")
-for name, t in ranked[:40]:
-    print(f"{t*1e3:9.2f} ms  {name[:110]}")
+    by_cat[args["hlo_category"]] += dur
+    rec = by_op[e["name"]]
+    rec[0] += dur
+    rec[1] += float(args.get("bytes_accessed", 0))
+    rec[2] = args.get("long_name", "")
+
+print(f"\nper-category totals over {N_STEPS} steps (ms/step):")
+for cat, t in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+    print(f"{t*1e3/N_STEPS:9.3f} ms/step  {cat}")
+print(f"{sum(by_cat.values())*1e3/N_STEPS:9.3f} ms/step  TOTAL device")
+
+print("\ntop ops (ms/step, achieved GB/s):")
+for name, (t, byts, long_name) in sorted(by_op.items(), key=lambda kv: -kv[1][0])[:40]:
+    gbs = byts / t / 1e9 if t else 0.0
+    print(f"{t*1e3/N_STEPS:8.3f} ms {gbs:7.1f} GB/s  {name:32s} {long_name[:90]}")
