@@ -194,6 +194,284 @@ def test_dataparallel_prefix_and_checkpoint_roundtrip(ref_networks, tmp_path):
         np.asarray(j), t.numpy().transpose(0, 2, 3, 1), atol=1e-5, rtol=1e-5)
 
 
+# ---------------------------------------------------------------------------
+# Train-STEP parity: loss + gradients through the SHIPPED train steps vs the
+# reference trainer semantics (train_supervised.py:63-79,
+# train_semisupervised.py:66-118, dual-task intent), using the reference's
+# own loss_functions.py for the torch side. Gradients are extracted from our
+# step exactly by running it with SGD(lr=1): params - new_params == grads.
+# Together with test_adamw_trajectory_parity (optimizer arithmetic) and the
+# BN-stat parity test above, this pins the full training chain.
+# ---------------------------------------------------------------------------
+
+REF_LOSSES = Path("/root/reference/utils/loss_functions.py")
+
+
+@pytest.fixture(scope="module")
+def ref_losses():
+    pytest.importorskip("torch")
+    spec = importlib.util.spec_from_file_location("ref_losses", REF_LOSSES)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _train_cfg(model_type):
+    cfg = _cfg(model_type)
+    a = cfg.AUGMENTATION
+    a.RANDOM_FLIP = False
+    a.RANDOM_ROTATE = False
+    a.COLOR_SHIFT = False
+    a.GAMMA_CORRECTION = False  # device augmentation becomes the identity
+    return cfg
+
+
+def _make_stack(batch=4, size=32, seed=23):
+    """Joint training stack [s1_t1|s1_t2|s2_t1|s2_t2|b_t1|b_t2|change]."""
+    rng = np.random.default_rng(seed)
+    stack = rng.uniform(0, 1, (batch, size, size, 15)).astype(np.float32)
+    stack[..., 12:] = (stack[..., 12:] > 0.7).astype(np.float32)
+    return stack
+
+
+def _sgd_step_grads(model, cfg, variables, regime, stack, is_labeled):
+    """Run the SHIPPED (unjitted) train step with a gradient-CAPTURING
+    optimizer: tx.update records the exact gradient tree the step feeds to
+    apply_gradients (no reconstruction rounding) and applies a zero update."""
+    import jax
+    import optax
+    from multimodal_siamese_cd_tpu import train_lib
+
+    captured = {}
+
+    def capture_update(grads, tx_state, params=None):
+        captured["grads"] = grads
+        return jax.tree_util.tree_map(lambda g: g * 0.0, grads), tx_state
+
+    tx = optax.GradientTransformation(lambda params: optax.EmptyState(),
+                                      capture_update)
+    state = train_lib.TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}), tx=tx)
+    step = train_lib.make_train_step(model, cfg, regime, mesh=None, jit=False)
+    _, metrics = step(state, stack, is_labeled, jax.random.PRNGKey(0))
+    return metrics, captured["grads"]
+
+
+def _compare_grads(torch_net, jax_grads):
+    """Leaf-for-leaf torch-grad vs jax-grad comparison through the same
+    key translation the weight port uses (index permutations commute with
+    differentiation). Params unused by the torch forward (grad None) must
+    have exactly-zero jax gradients."""
+    from multimodal_siamese_cd_tpu import torch_port
+
+    num, den = 0.0, 0.0
+    checked = zero_checked = 0
+    for key, p in torch_net.named_parameters():
+        coll, path, fn = torch_port._translate_key(key)
+        assert coll == "params"
+        leaf = jax_grads
+        for part in path:
+            leaf = leaf[part]
+        leaf = np.asarray(leaf)
+        if p.grad is None:
+            np.testing.assert_array_equal(leaf, np.zeros_like(leaf))
+            zero_checked += 1
+            continue
+        t = fn(p.grad.numpy())
+        np.testing.assert_allclose(leaf, t, atol=1e-4, rtol=1e-2)
+        num += float(((leaf - t) ** 2).sum())
+        den += float((t ** 2).sum())
+        checked += 1
+    assert checked > 0
+    # Measured torch-vs-jax fp32 accumulation noise: 3e-5 (supervised,
+    # single head) to 8e-4 (whatevernet all-labeled, tiny grads) relative
+    # L2. Any semantic mismatch (loss weighting, masked denominators, BN
+    # eps) lands at 1e-2 or above; 5e-3 separates the two regimes cleanly.
+    assert (num / max(den, 1e-30)) ** 0.5 < 5e-3  # global relative L2
+    return checked, zero_checked
+
+
+@pytest.mark.parametrize("model_type", ["siameseunet", "unet"])
+def test_supervised_step_loss_and_grad_parity(ref_networks, ref_losses,
+                                              model_type):
+    """Reference supervised step (train_supervised.py:63-79): loss =
+    criterion(net(x_t1, x_t2), y_change), net in train mode."""
+    import torch
+
+    import jax
+    from multimodal_siamese_cd_tpu import torch_port, train_lib
+    from multimodal_siamese_cd_tpu.models import create_network, init_variables
+
+    cfg = _train_cfg(model_type)
+    torch_cls = {"siameseunet": ref_networks.SiameseUNet,
+                 "unet": ref_networks.UNet}[model_type]
+    tnet = torch_cls(cfg)
+    _randomize(torch, tnet, seed=31)
+    tnet.train()
+
+    model = create_network(cfg)
+    variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+    variables = torch_port.port_reference_state_dict(tnet.state_dict(),
+                                                     variables)
+
+    stack = _make_stack()
+    layout = train_lib.stack_layout(cfg)
+    x1, x2, y, _, _ = train_lib.split_stack(stack, layout)
+    to_t = lambda a: torch.from_numpy(np.asarray(a).transpose(0, 3, 1, 2))
+
+    criterion = ref_losses.get_criterion(cfg.MODEL.LOSS_TYPE)
+    logits = tnet(to_t(x1), to_t(x2))
+    t_loss = criterion(logits, to_t(y))
+    t_loss.backward()
+
+    metrics, grads = _sgd_step_grads(
+        model, cfg, variables, "supervised", stack,
+        np.ones((stack.shape[0],), np.float32))
+
+    assert abs(float(metrics["loss"]) - float(t_loss)) < 2e-6
+    _compare_grads(tnet, grads)
+
+
+def test_dualtask_step_loss_and_grad_parity(ref_networks, ref_losses):
+    """Dual-task intent (reference train_supervised_dualtask.py:73-85,
+    rebuilt): loss = (change + (sem_t1 + sem_t2) / 2) / 2."""
+    import torch
+
+    import jax
+    from multimodal_siamese_cd_tpu import torch_port, train_lib
+    from multimodal_siamese_cd_tpu.models import create_network, init_variables
+
+    cfg = _train_cfg("dtsiameseunet")
+    tnet = ref_networks.DualTaskSiameseUNet(cfg)
+    _randomize(torch, tnet, seed=37)
+    tnet.train()
+
+    model = create_network(cfg)
+    variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+    variables = torch_port.port_reference_state_dict(tnet.state_dict(),
+                                                     variables)
+
+    stack = _make_stack(seed=29)
+    layout = train_lib.stack_layout(cfg)
+    x1, x2, y, ys1, ys2 = train_lib.split_stack(stack, layout)
+    to_t = lambda a: torch.from_numpy(np.asarray(a).transpose(0, 3, 1, 2))
+
+    criterion = ref_losses.get_criterion(cfg.MODEL.LOSS_TYPE)
+    lc, ls1, ls2 = tnet(to_t(x1), to_t(x2))
+    t_loss = (criterion(lc, to_t(y))
+              + (criterion(ls1, to_t(ys1)) + criterion(ls2, to_t(ys2))) / 2) / 2
+    t_loss.backward()
+
+    metrics, grads = _sgd_step_grads(
+        model, cfg, variables, "dualtask", stack,
+        np.ones((stack.shape[0],), np.float32))
+
+    assert abs(float(metrics["loss"]) - float(t_loss)) < 2e-6
+    checked, zero_checked = _compare_grads(tnet, grads)
+    assert zero_checked == 2  # outc_sem_change is unused in the forward
+
+
+@pytest.mark.parametrize("labeled", [[1, 1, 0, 0], [1, 1, 1, 1], [0, 0, 0, 0]])
+def test_semisupervised_step_loss_and_grad_parity(ref_networks, ref_losses,
+                                                  labeled):
+    """Reference semi-supervised composition (train_semisupervised.py:74-118):
+    boolean-indexed sup/cons partitions with the sup-only / cons-only / both
+    fallback — our masked formulation must match loss AND gradients for
+    mixed, all-labeled and all-unlabeled batches."""
+    import torch
+
+    import jax
+    from multimodal_siamese_cd_tpu import torch_port, train_lib
+    from multimodal_siamese_cd_tpu.models import create_network, init_variables
+
+    cfg = _train_cfg("whatevernet")
+    tnet = ref_networks.WhateverNet(cfg)
+    _randomize(torch, tnet, seed=41)
+    tnet.train()
+
+    model = create_network(cfg)
+    variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+    variables = torch_port.port_reference_state_dict(tnet.state_dict(),
+                                                     variables)
+
+    stack = _make_stack(seed=43)
+    layout = train_lib.stack_layout(cfg)
+    x1, x2, y, _, _ = train_lib.split_stack(stack, layout)
+    to_t = lambda a: torch.from_numpy(np.asarray(a).transpose(0, 3, 1, 2))
+
+    sup_criterion = ref_losses.get_criterion(cfg.MODEL.LOSS_TYPE)
+    cons_criterion = ref_losses.get_criterion(
+        cfg.CONSISTENCY_TRAINER.LOSS_TYPE)
+    alpha = cfg.CONSISTENCY_TRAINER.LOSS_FACTOR
+
+    is_labeled = torch.tensor(labeled, dtype=torch.bool)
+    lf, l1, l2 = tnet(to_t(x1), to_t(x2))
+    p1, p2 = torch.sigmoid(l1), torch.sigmoid(l2)
+    y_t = to_t(y)
+    sup_loss = cons_loss = None
+    if is_labeled.any():
+        sup_loss = alpha * (sup_criterion(lf[is_labeled], y_t[is_labeled])
+                            + sup_criterion(l1[is_labeled], y_t[is_labeled])
+                            + sup_criterion(l2[is_labeled], y_t[is_labeled])) / 3
+    if not is_labeled.all():
+        nl = torch.logical_not(is_labeled)
+        if cfg.CONSISTENCY_TRAINER.LOSS_TYPE == 'L2':
+            cons_loss = cons_criterion(p1[nl], p2[nl])
+        else:
+            cons_loss = cons_criterion(l1[nl], p2[nl])
+        cons_loss = (1 - alpha) * cons_loss
+    t_loss = (cons_loss if sup_loss is None else
+              sup_loss if cons_loss is None else sup_loss + cons_loss)
+    t_loss.backward()
+
+    metrics, grads = _sgd_step_grads(
+        model, cfg, variables, "semisupervised", stack,
+        np.asarray(labeled, np.float32))
+
+    assert abs(float(metrics["loss"]) - float(t_loss)) < 2e-6
+    _compare_grads(tnet, grads)
+
+
+def test_adamw_trajectory_parity():
+    """optax.adamw must reproduce torch.optim.AdamW (the reference's
+    optimizer, train_supervised.py:32: lr, wd=0.01, torch default betas/eps)
+    step-for-step on an identical gradient sequence."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    rng = np.random.default_rng(7)
+    shapes = [(4, 3), (7,), (2, 2, 3, 5)]
+    init = [rng.normal(size=s).astype(np.float32) for s in shapes]
+    grad_seq = [[rng.normal(size=s).astype(np.float32) for s in shapes]
+                for _ in range(5)]
+
+    t_params = [torch.nn.Parameter(torch.from_numpy(p.copy())) for p in init]
+    opt = torch.optim.AdamW(t_params, lr=1e-3, betas=(0.9, 0.999),
+                            eps=1e-8, weight_decay=0.01)
+    for grads in grad_seq:
+        opt.zero_grad()
+        for p, g in zip(t_params, grads):
+            p.grad = torch.from_numpy(g.copy())
+        opt.step()
+
+    tx = optax.adamw(learning_rate=1e-3, b1=0.9, b2=0.999, eps=1e-8,
+                     weight_decay=0.01)
+    j_params = [jnp.asarray(p) for p in init]
+    opt_state = tx.init(j_params)
+    for grads in grad_seq:
+        updates, opt_state = tx.update([jnp.asarray(g) for g in grads],
+                                       opt_state, j_params)
+        j_params = optax.apply_updates(j_params, updates)
+
+    for t, j in zip(t_params, j_params):
+        np.testing.assert_allclose(np.asarray(j), t.detach().numpy(),
+                                   atol=1e-7, rtol=1e-6)
+
+
 def test_dualtask_train_mode_bn_stat_parity(ref_networks):
     """Train-mode running-statistic updates must follow torch's sequential
     semantics for the twice-applied shared modules of DualTaskSiameseUNet

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""On-hardware convergence evidence via the SHIPPED trainer CLIs.
+
+Generates a synthetic SpaceNet7-layout dataset (buildings visible in the
+imagery) and runs one of the three training CLIs on the TPU with a short
+schedule, then prints the eval-F1 trajectory parsed from the JSONL sink.
+Round-1 recorded this for the supervised regime (BASELINE.md); this tool
+makes the run reproducible and covers dualtask/semisupervised too.
+
+Usage: python tools/convergence_run.py --regime dualtask
+"""
+import argparse
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+REGIMES = {
+    "supervised": ("train_supervised.py", "siamese"),
+    "dualtask": ("train_supervised_dualtask.py", "dtsiamese"),
+    "semisupervised": ("train_semisupervised.py", "siamese_mmcr_base"),
+}
+
+
+def ensure_dataset(root: Path, scene: int) -> None:
+    if (root / "metadata.json").exists():
+        return
+    from multimodal_siamese_cd_tpu.data.synthetic import generate_fixture_dataset
+
+    print(f"generating synthetic dataset at {root} ({scene}^2 scenes)...",
+          flush=True)
+    generate_fixture_dataset(root, scene_size=(scene, scene))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--regime", choices=sorted(REGIMES), default="dualtask")
+    p.add_argument("--scene", type=int, default=320)
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--out-dir", default=None)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--multiplier", type=int, default=13)
+    p.add_argument("--log-freq", type=int, default=10)
+    args = p.parse_args()
+
+    script, config = REGIMES[args.regime]
+    data = Path(args.data_dir or f"/tmp/convds{args.scene}")
+    out = Path(args.out_dir or f"/tmp/convout_{args.regime}")
+    out.mkdir(parents=True, exist_ok=True)
+    ensure_dataset(data, args.scene)
+
+    cmd = [sys.executable, str(REPO / script), "-c", config,
+           "-p", "convergence", "-o", str(out), "-d", str(data),
+           "DATALOADER.TRAINING_MULTIPLIER", str(args.multiplier),
+           "TRAINER.LOG_FREQ", str(args.log_freq),
+           "TRAINER.EPOCHS", str(args.epochs)]
+    print("running:", " ".join(cmd), flush=True)
+    rc = subprocess.run(cmd, cwd=REPO).returncode
+    if rc:
+        return rc
+
+    log = out / "logs" / f"{config}.jsonl"
+    print(f"\nF1 trajectory ({log}):")
+    for line in log.read_text().splitlines():
+        rec = json.loads(line)
+        for key in ("training F1", "validation F1", "test F1"):
+            if key in rec:
+                print(f"  step {rec.get('step'):>4}  {key}: {rec[key]:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
