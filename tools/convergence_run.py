@@ -21,8 +21,17 @@ sys.path.insert(0, str(REPO))
 REGIMES = {
     "supervised": ("train_supervised.py", "siamese"),
     "dualtask": ("train_supervised_dualtask.py", "dtsiamese"),
-    "semisupervised": ("train_semisupervised.py", "siamese_mmcr_base"),
+    # alpha0500: supervised factor 0.5 — mmcr_base is the consistency-only
+    # ablation (LOSS_FACTOR 0.0) and cannot learn change labels by design
+    "semisupervised": ("train_semisupervised.py", "siamese_mmcr_alpha0500"),
 }
+
+# A larger AOI grid than the default test fixture (hyphen-only ids: the
+# s1_{aoi}_{year}_{month}.tif naming stays unambiguous).
+TRAIN = [f"L15-syntrain{i}" for i in range(8)]
+VAL = [f"L15-synval{i}" for i in range(2)]
+TEST = [f"L15-syntest{i}" for i in range(2)]
+UNLAB = [f"L15-synunlab{i}" for i in range(4)]
 
 
 def ensure_dataset(root: Path, scene: int) -> None:
@@ -32,7 +41,9 @@ def ensure_dataset(root: Path, scene: int) -> None:
 
     print(f"generating synthetic dataset at {root} ({scene}^2 scenes)...",
           flush=True)
-    generate_fixture_dataset(root, scene_size=(scene, scene))
+    aois = {a: True for a in TRAIN + VAL + TEST}
+    aois.update({a: False for a in UNLAB})
+    generate_fixture_dataset(root, scene_size=(scene, scene), aois=aois)
 
 
 def main() -> int:
@@ -42,7 +53,7 @@ def main() -> int:
     p.add_argument("--data-dir", default=None)
     p.add_argument("--out-dir", default=None)
     p.add_argument("--epochs", type=int, default=1)
-    p.add_argument("--multiplier", type=int, default=13)
+    p.add_argument("--multiplier", type=int, default=64)
     p.add_argument("--log-freq", type=int, default=10)
     args = p.parse_args()
 
@@ -54,8 +65,12 @@ def main() -> int:
 
     cmd = [sys.executable, str(REPO / script), "-c", config,
            "-p", "convergence", "-o", str(out), "-d", str(data),
+           "DATASET.TRAINING_IDS", repr(TRAIN),
+           "DATASET.VALIDATION_IDS", repr(VAL),
+           "DATASET.TEST_IDS", repr(TEST),
+           "DATASET.UNLABELED_IDS", repr(UNLAB),
            "DATALOADER.TRAINING_MULTIPLIER", str(args.multiplier),
-           "TRAINER.LOG_FREQ", str(args.log_freq),
+           "LOG_FREQ", str(args.log_freq),
            "TRAINER.EPOCHS", str(args.epochs)]
     print("running:", " ".join(cmd), flush=True)
     rc = subprocess.run(cmd, cwd=REPO).returncode
