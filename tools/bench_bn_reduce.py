@@ -64,22 +64,26 @@ def pallas_reduce(dy, x):
 
 
 def timed(fn, args, n1=100):
+    # Keep the loop body live without touching the big operands: swap the
+    # two inputs each iteration (buffer aliasing, free) and accumulate one
+    # element of each reduce into a scalar carry. A chain that feeds the
+    # result back scaled by 0.0 gets constant-folded and the reduce
+    # loop-hoisted (measured >HBM-peak "bandwidth" — garbage).
     def run_n(n):
         @jax.jit
         def run(args):
             def body(c, _):
-                dy, x = c
-                s1, s2 = fn(dy, x)
-                # fold the result back so iterations are data-dependent
-                return (dy + s1.astype(dy.dtype)[None, None, None] * 0.0,
-                        x), None
-            (dy, _), _ = lax.scan(body, args, None, length=n)
-            return dy
-        _ = float(jnp.sum(run(args)[0, 0, :1].astype(jnp.float32)))
+                a, b, acc = c
+                s1, s2 = fn(a, b)
+                return (b, a, acc + s1[0] + s2[0]), None
+            (_, _, acc), _ = lax.scan(body, (*args, jnp.float32(0)), None,
+                                      length=n)
+            return acc
+        _ = float(run(args))
         best = np.inf
         for _ in range(4):
             t0 = time.perf_counter()
-            _ = float(jnp.sum(run(args)[0, 0, :1].astype(jnp.float32)))
+            _ = float(run(args))
             best = min(best, time.perf_counter() - t0)
         return best
     return (run_n(2 * n1) - run_n(n1)) / n1
