@@ -114,15 +114,20 @@ class ServingModel:
                 for b in meta["buckets"]}
 
     def _bucket_for(self, h, w):
-        for bh, bw in self.buckets:
-            if bh >= h and bw >= w:
-                return bh, bw
-        raise ValueError(
-            f"scene {h}x{w} exceeds every exported bucket "
-            f"{self.buckets}; re-export with a larger bucket")
+        fits = [(bh * bw, bh, bw) for bh, bw in self.buckets
+                if bh >= h and bw >= w]
+        if not fits:
+            raise ValueError(
+                f"scene {h}x{w} exceeds every exported bucket "
+                f"{self.buckets}; re-export with a larger bucket")
+        _, bh, bw = min(fits)  # least padded area among the fitting buckets
+        return bh, bw
 
     def predict(self, x_t1: np.ndarray, x_t2: np.ndarray) -> np.ndarray:
         h, w, c = x_t1.shape
+        if x_t2.shape != x_t1.shape:
+            raise ValueError(f"bitemporal shapes differ: x_t1 {x_t1.shape} "
+                             f"vs x_t2 {x_t2.shape}")
         if c != self.meta["in_channels"]:
             raise ValueError(f"expected {self.meta['in_channels']} channels "
                              f"({self.meta['input_mode']}), got {c}")

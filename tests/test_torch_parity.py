@@ -198,10 +198,10 @@ def test_dataparallel_prefix_and_checkpoint_roundtrip(ref_networks, tmp_path):
 # Train-STEP parity: loss + gradients through the SHIPPED train steps vs the
 # reference trainer semantics (train_supervised.py:63-79,
 # train_semisupervised.py:66-118, dual-task intent), using the reference's
-# own loss_functions.py for the torch side. Gradients are extracted from our
-# step exactly by running it with SGD(lr=1): params - new_params == grads.
-# Together with test_adamw_trajectory_parity (optimizer arithmetic) and the
-# BN-stat parity test above, this pins the full training chain.
+# own loss_functions.py for the torch side. Gradients are captured exactly
+# by a recording optax transformation inside the step (no reconstruction
+# rounding). Together with test_adamw_trajectory_parity (optimizer
+# arithmetic) and the BN-stat parity test above, this pins the full chain.
 # ---------------------------------------------------------------------------
 
 REF_LOSSES = Path("/root/reference/utils/loss_functions.py")
@@ -234,7 +234,7 @@ def _make_stack(batch=4, size=32, seed=23):
     return stack
 
 
-def _sgd_step_grads(model, cfg, variables, regime, stack, is_labeled):
+def _capture_step_grads(model, cfg, variables, regime, stack, is_labeled):
     """Run the SHIPPED (unjitted) train step with a gradient-CAPTURING
     optimizer: tx.update records the exact gradient tree the step feeds to
     apply_gradients (no reconstruction rounding) and applies a zero update."""
@@ -325,7 +325,7 @@ def test_supervised_step_loss_and_grad_parity(ref_networks, ref_losses,
     t_loss = criterion(logits, to_t(y))
     t_loss.backward()
 
-    metrics, grads = _sgd_step_grads(
+    metrics, grads = _capture_step_grads(
         model, cfg, variables, "supervised", stack,
         np.ones((stack.shape[0],), np.float32))
 
@@ -363,7 +363,7 @@ def test_dualtask_step_loss_and_grad_parity(ref_networks, ref_losses):
               + (criterion(ls1, to_t(ys1)) + criterion(ls2, to_t(ys2))) / 2) / 2
     t_loss.backward()
 
-    metrics, grads = _sgd_step_grads(
+    metrics, grads = _capture_step_grads(
         model, cfg, variables, "dualtask", stack,
         np.ones((stack.shape[0],), np.float32))
 
@@ -425,7 +425,7 @@ def test_semisupervised_step_loss_and_grad_parity(ref_networks, ref_losses,
               sup_loss if cons_loss is None else sup_loss + cons_loss)
     t_loss.backward()
 
-    metrics, grads = _sgd_step_grads(
+    metrics, grads = _capture_step_grads(
         model, cfg, variables, "semisupervised", stack,
         np.asarray(labeled, np.float32))
 

@@ -35,8 +35,16 @@ UNLAB = [f"L15-synunlab{i}" for i in range(4)]
 
 
 def ensure_dataset(root: Path, scene: int) -> None:
-    if (root / "metadata.json").exists():
+    import json as _json
+    import shutil
+
+    params = {"scene": scene, "train": TRAIN, "val": VAL, "test": TEST,
+              "unlab": UNLAB}
+    marker = root / "convergence_gen_params.json"
+    if marker.exists() and _json.loads(marker.read_text()) == params:
         return
+    if root.exists():  # stale or foreign dataset tree: regenerate
+        shutil.rmtree(root)
     from multimodal_siamese_cd_tpu.data.synthetic import generate_fixture_dataset
 
     print(f"generating synthetic dataset at {root} ({scene}^2 scenes)...",
@@ -44,6 +52,7 @@ def ensure_dataset(root: Path, scene: int) -> None:
     aois = {a: True for a in TRAIN + VAL + TEST}
     aois.update({a: False for a in UNLAB})
     generate_fixture_dataset(root, scene_size=(scene, scene), aois=aois)
+    marker.write_text(_json.dumps(params))
 
 
 def main() -> int:
@@ -63,6 +72,9 @@ def main() -> int:
     out.mkdir(parents=True, exist_ok=True)
     ensure_dataset(data, args.scene)
 
+    log = out / "logs" / f"{config}.jsonl"
+    log.unlink(missing_ok=True)  # the sink appends; keep one run per report
+
     cmd = [sys.executable, str(REPO / script), "-c", config,
            "-p", "convergence", "-o", str(out), "-d", str(data),
            "DATASET.TRAINING_IDS", repr(TRAIN),
@@ -77,7 +89,6 @@ def main() -> int:
     if rc:
         return rc
 
-    log = out / "logs" / f"{config}.jsonl"
     print(f"\nF1 trajectory ({log}):")
     for line in log.read_text().splitlines():
         rec = json.loads(line)
