@@ -433,6 +433,66 @@ def test_semisupervised_step_loss_and_grad_parity(ref_networks, ref_losses,
     _compare_grads(tnet, grads)
 
 
+def test_supervised_training_trajectory_parity(ref_networks, ref_losses):
+    """Capstone integration pin: FIVE full optimizer steps of the shipped
+    supervised train step (real AdamW this time) against the reference
+    training loop (train_supervised.py:63-79 + AdamW at :32) from identical
+    init on an identical batch sequence — loss curves must track. This
+    exercises the grad/optimizer/BN-running-stat interplay across steps
+    that the single-step tests can't see."""
+    import torch
+
+    import jax
+    import optax
+    from multimodal_siamese_cd_tpu import torch_port, train_lib
+    from multimodal_siamese_cd_tpu.models import create_network, init_variables
+
+    cfg = _train_cfg("siameseunet")
+    lr = 1e-3  # large enough that parameter drift would show by step 5
+    tnet = ref_networks.SiameseUNet(cfg)
+    _randomize(torch, tnet, seed=51)
+    tnet.train()
+    opt = torch.optim.AdamW(tnet.parameters(), lr=lr, betas=(0.9, 0.999),
+                            eps=1e-8, weight_decay=0.01)
+    criterion = ref_losses.get_criterion(cfg.MODEL.LOSS_TYPE)
+
+    model = create_network(cfg)
+    variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+    variables = torch_port.port_reference_state_dict(tnet.state_dict(),
+                                                     variables)
+    state = train_lib.TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=optax.adamw(learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8,
+                       weight_decay=0.01))
+    step = train_lib.make_train_step(model, cfg, "supervised", mesh=None,
+                                     jit=False)
+
+    layout = train_lib.stack_layout(cfg)
+    ones = np.ones((4,), np.float32)
+    to_t = lambda a: torch.from_numpy(
+        np.ascontiguousarray(np.asarray(a).transpose(0, 3, 1, 2)))
+    rng = jax.random.PRNGKey(0)
+
+    t_losses, j_losses = [], []
+    for i in range(5):
+        stack = _make_stack(seed=100 + i)
+        x1, x2, y, _, _ = train_lib.split_stack(stack, layout)
+
+        opt.zero_grad()
+        t_loss = criterion(tnet(to_t(x1), to_t(x2)), to_t(y))
+        t_loss.backward()
+        opt.step()
+        t_losses.append(float(t_loss))
+
+        state, metrics = step(state, stack, ones, rng)
+        j_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(j_losses, t_losses, atol=5e-5, rtol=1e-4)
+    # the curve moved (the comparison is not vacuous)
+    assert abs(t_losses[-1] - t_losses[0]) > 1e-3
+
+
 def test_adamw_trajectory_parity():
     """optax.adamw must reproduce torch.optim.AdamW (the reference's
     optimizer, train_supervised.py:32: lr, wd=0.01, torch default betas/eps)
