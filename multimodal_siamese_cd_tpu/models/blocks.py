@@ -23,7 +23,7 @@ from .packed import (
     PackedDoubleConv,
     PackedDoubleConvPair,
     PackedUpsample,
-    _PackedConv1x1,
+    PackedConv1x1,
     pack,
     packed_max_pool,
     unpack,
@@ -154,7 +154,7 @@ class OutConv(nn.Module):
     def __call__(self, x: jnp.ndarray, x2: jnp.ndarray | None = None,
                  packed: bool = False) -> jnp.ndarray:
         if packed:
-            y = _PackedConv1x1(self.out_ch, self.dtype, name="conv")(x, x2)
+            y = PackedConv1x1(self.out_ch, self.dtype, name="conv")(x, x2)
             return unpack(y).astype(jnp.float32)
         if x2 is not None:
             x = jnp.concatenate([x, x2], axis=-1)

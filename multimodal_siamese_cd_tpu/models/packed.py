@@ -330,9 +330,11 @@ class PackedDoubleConvPair(nn.Module):
         return nn.relu(x)
 
 
-class _PackedConv1x1(nn.Module):
+class PackedConv1x1(nn.Module):
     """1x1 conv on packed operand(s) with block-diagonal packed weights;
-    parameter names/shapes match nn.Conv's (kernel (1, 1, cin, out))."""
+    parameter names/shapes match nn.Conv's (kernel (1, 1, cin, out)).
+    blocks.OutConv's packed branch builds the head from this directly
+    (unpack AFTER the channel reduction, so no full-size transpose)."""
 
     features: int
     dtype: Dtype = jnp.bfloat16
@@ -367,16 +369,3 @@ class _PackedConv1x1(nn.Module):
         return y + jnp.tile(bias, 2).astype(self.dtype)
 
 
-class PackedOutConv(nn.Module):
-    """OutConv (1x1 head, blocks.OutConv) on packed input(s); returns the
-    UNPACKED fp32 logits. Unpacking happens after the channel reduction, so
-    the big-activation transpose disappears (out_ch is 1). Variable tree
-    matches OutConv (child 'conv')."""
-
-    out_ch: int
-    dtype: Dtype = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, a: jnp.ndarray, b: jnp.ndarray | None = None) -> jnp.ndarray:
-        y = _PackedConv1x1(self.out_ch, self.dtype, name="conv")(a, b)
-        return unpack(y).astype(jnp.float32)

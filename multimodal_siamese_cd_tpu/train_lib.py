@@ -126,21 +126,23 @@ def _apply_train(model, params, batch_stats, x_t1, x_t2, rng, bn_groups=1):
     0's buffer updates); the loss downstream still reduces over the full
     gathered batch, as DataParallel's device-0 loss does. Default (1) is
     sync-BN over the global batch."""
-    def fwd(a, b):
+    def fwd(a, b, drop_rng):
         out, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             a, b, train=True, mutable=["batch_stats"],
-            rngs={"dropout": rng})
+            rngs={"dropout": drop_rng})
         return out, updates["batch_stats"]
 
     if bn_groups <= 1:
-        return fwd(x_t1, x_t2)
+        return fwd(x_t1, x_t2, rng)
 
     batch = x_t1.shape[0]
     gb = batch // bn_groups
     xs1 = x_t1.reshape(bn_groups, gb, *x_t1.shape[1:])
     xs2 = x_t2.reshape(bn_groups, gb, *x_t2.shape[1:])
-    out, stats = jax.vmap(fwd)(xs1, xs2)
+    # independent dropout masks per group, like DataParallel's per-replica
+    # RNG streams (only siamunet_diff uses dropout)
+    out, stats = jax.vmap(fwd)(xs1, xs2, jax.random.split(rng, bn_groups))
     out = jax.tree_util.tree_map(
         lambda o: o.reshape(batch, *o.shape[2:]), out)
     new_stats = jax.tree_util.tree_map(lambda s: s[0], stats)
@@ -345,7 +347,10 @@ def make_scanned_train_step(model, cfg, regime: str, mesh=None,
     ``unroll`` is forwarded to ``lax.scan`` (XLA can elide loop-carry
     staging copies across unrolled iterations, at higher compile cost).
     """
-    body = make_train_step(model, cfg, regime, mesh=None, jit=False)
+    # The unjitted body still needs the REAL mesh: bn_group_count reads it
+    # for the per-replica BN mode (MODEL.SYNC_BN: False must mean the same
+    # thing whether or not the execution plan scan-fuses).
+    body = make_train_step(model, cfg, regime, mesh=mesh, jit=False)
 
     def multi_step(state, stacks, is_labeled, rng):
         def f(s, xs):

@@ -159,6 +159,14 @@ def _execution_plan(cfg, model, regime, mesh, loader):
             k = 1
         else:
             ms = measure_dispatch_latency_ms()
+            if jax.process_count() > 1:
+                # every process must enqueue the SAME program over the
+                # global mesh: the latency probe is wall-clock noise, so
+                # agree on process 0's measurement before deriving k
+                from jax.experimental import multihost_utils
+
+                ms = float(multihost_utils.broadcast_one_to_all(
+                    np.float32(ms)))
             k = auto_steps_per_execution(cfg.LOG_FREQ, len(loader), ms)
             if k > 1:
                 print(f'dispatch latency {ms:.2f} ms/step -> '

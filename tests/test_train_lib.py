@@ -396,6 +396,44 @@ def test_per_replica_bn_step_on_mesh(cfg):
         assert np.isfinite(float(m["loss"])), regime
 
 
+def test_per_replica_bn_survives_scan_fusion(cfg):
+    """Regression: make_scanned_train_step used to build its body with
+    mesh=None, silently collapsing MODEL.SYNC_BN: False back to sync-BN
+    whenever the execution plan scan-fused. A K=1 scanned step must
+    produce the same updated batch_stats as the unscanned per-replica
+    step."""
+    from multimodal_siamese_cd_tpu.parallel import batch_sharding, data_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = data_mesh(jax.devices()[:4])
+    cfg.MODEL.SYNC_BN = False
+    cfg.MODEL.TYPE = "siameseunet"
+    cfg.TRAINER.BATCH_SIZE = 8
+    model, state0 = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(11)
+    stack = rng.uniform(0, 1, (8, 32, 32, 15)).astype(np.float32)
+    stack[..., 12:] = (stack[..., 12:] > 0.8).astype(np.float32)
+    lab = np.ones((8,), np.float32)
+    key = jax.random.PRNGKey(5)
+
+    plain = train_lib.make_train_step(model, cfg, "supervised", mesh=mesh)
+    s1, _ = plain(jax.device_get(state0),
+                  jax.device_put(stack, batch_sharding(mesh)), lab, key)
+
+    scanned = train_lib.make_scanned_train_step(model, cfg, "supervised",
+                                                mesh=mesh)
+    s2, _ = scanned(jax.device_get(state0),
+                    jax.device_put(stack[None],
+                                   NamedSharding(mesh, P(None, "data"))),
+                    lab[None], key)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-6),
+        s1.batch_stats, s2.batch_stats)
+
+
 def test_bn_group_count_validation(cfg):
     from multimodal_siamese_cd_tpu.parallel import data_mesh
 
