@@ -80,7 +80,9 @@ def main() -> int:
         stacks, NamedSharding(mesh, P(None, "data" if mesh.size > 1 else None)))
     is_labeled = jax.device_put(is_labeled)
 
-    for _ in range(args.warmup_calls):
+    # at least one warmup call: it compiles the program AND produces the `m`
+    # whose fetch is the pre-window synchronization barrier
+    for _ in range(max(1, args.warmup_calls)):
         state, m = step_fn(state, stacks, is_labeled, rng)
     float(m["loss"])  # host fetch = true synchronization
 

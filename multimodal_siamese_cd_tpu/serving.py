@@ -73,6 +73,8 @@ def export_serving_bundle(model, state, cfg, path,
     path.parent.mkdir(parents=True, exist_ok=True)
     kwargs = {}
     if platforms is not None:
+        if isinstance(platforms, str):  # tuple("cpu") would be ('c','p','u')
+            platforms = [platforms]
         kwargs["platforms"] = tuple(platforms)
 
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:

@@ -92,23 +92,30 @@ def test_two_process_step_matches_single_process(tmp_path):
     from multimodal_siamese_cd_tpu.config import load_cfg
     from multimodal_siamese_cd_tpu.parallel import data_mesh
 
-    with socket.socket() as s:  # pick a free coordinator port
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    procs = [subprocess.Popen(
-        [sys.executable, str(worker), str(pid), str(port), str(REPO)],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
-        for pid in range(2)]
-    outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=600)
-        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
-        outs.append(out)
+
+    def run_cluster():
+        with socket.socket() as s:  # pick a free coordinator port
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs = [subprocess.Popen(
+            [sys.executable, str(worker), str(pid), str(port), str(REPO)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env) for pid in range(2)]
+        results = [p.communicate(timeout=600) for p in procs]
+        return [p.returncode for p in procs], results
+
+    # bind-then-close port picking is racy: retry once on a fresh port
+    for attempt in range(2):
+        rcs, results = run_cluster()
+        if all(rc == 0 for rc in rcs):
+            break
+    assert all(rc == 0 for rc in rcs), \
+        "\n".join(out + "\n" + err for out, err in results)
+    outs = [out for out, _ in results]
 
     results = {}
     for out in outs:

@@ -43,8 +43,15 @@ def ensure_dataset(root: Path, scene: int) -> None:
     marker = root / "convergence_gen_params.json"
     if marker.exists() and _json.loads(marker.read_text()) == params:
         return
-    if root.exists():  # stale or foreign dataset tree: regenerate
-        shutil.rmtree(root)
+    if root.exists():
+        if not marker.exists():
+            # NEVER delete a tree this tool didn't generate (--data-dir may
+            # point at a real dataset)
+            raise SystemExit(
+                f"{root} exists but has no {marker.name}; refusing to "
+                f"overwrite a dataset this tool did not generate — pass an "
+                f"empty/new --data-dir")
+        shutil.rmtree(root)  # our own stale generation: regenerate
     from multimodal_siamese_cd_tpu.data.synthetic import generate_fixture_dataset
 
     print(f"generating synthetic dataset at {root} ({scene}^2 scenes)...",
