@@ -55,6 +55,10 @@ def main() -> int:
     p.add_argument("--warmup-calls", type=int, default=2)
     p.add_argument("--precision", default="bf16")
     p.add_argument("--regime", default="supervised")
+    p.add_argument("--assert-min", type=float, default=None,
+                   help="exit 1 if patches/sec/chip falls below this "
+                        "(regression guard; round-2 HEAD: supervised 328.9, "
+                        "dualtask 197.7, semisup 164.2)")
     args = p.parse_args()
 
     cfg = load_cfg("base")
@@ -113,6 +117,10 @@ def main() -> int:
           f"(scan {k}/call) total={patches_per_sec:.1f} patches/s "
           f"step={dt / n_steps * 1e3:.2f} ms loss={loss:.4f}",
           file=sys.stderr)
+    if args.assert_min is not None and per_chip < args.assert_min:
+        print(f"REGRESSION: {per_chip:.1f} < --assert-min {args.assert_min}",
+              file=sys.stderr)
+        return 1
     return 0
 
 
