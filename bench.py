@@ -50,8 +50,11 @@ def main() -> int:
     p.add_argument("--model", default="siameseunet")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--crop", type=int, default=256)
+    # 10 scanned steps/call (the trainer's auto max_k) x 10 calls per fetch
+    # = one synchronization per 100 steps, exactly the production LOG_FREQ
+    # cadence the trainer logs at
     p.add_argument("--steps-per-call", type=int, default=10)
-    p.add_argument("--calls", type=int, default=5)
+    p.add_argument("--calls", type=int, default=10)
     p.add_argument("--warmup-calls", type=int, default=2)
     p.add_argument("--precision", default="bf16")
     p.add_argument("--regime", default="supervised")
