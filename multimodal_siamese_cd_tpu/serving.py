@@ -39,11 +39,11 @@ from jax import export as jax_export
 DEFAULT_BUCKETS = ((256, 256), (512, 512), (1024, 1024))
 
 
-def _eval_fn(model):
+def _eval_fn(model, treedef):
+    """Eval forward over the FLAT weight-leaf list; the pytree structure is
+    closed over here and thus baked into the exported graph."""
     def fwd(leaf_list, x1, x2):
-        import jax.tree_util as jtu
-
-        variables = jtu.tree_unflatten(fwd.treedef, leaf_list)
+        variables = jax.tree_util.tree_unflatten(treedef, leaf_list)
         out = model.apply(variables, x1, x2, train=False)
         if isinstance(out, tuple):
             out = out[0]
@@ -62,8 +62,7 @@ def export_serving_bundle(model, state, cfg, path,
     leaves, treedef = jax.tree_util.tree_flatten(variables)
     leaves = [np.asarray(l) for l in leaves]
 
-    fwd = _eval_fn(model)
-    fwd.treedef = treedef
+    fwd = _eval_fn(model, treedef)
 
     n_ch = (len(cfg.DATALOADER.S1_BANDS), len(cfg.DATALOADER.S2_BANDS))
     in_channels = {"s1": n_ch[0], "s2": n_ch[1],
