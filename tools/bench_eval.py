@@ -25,8 +25,9 @@ from multimodal_siamese_cd_tpu.config import load_cfg
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--scene", type=int, default=1024)
-    p.add_argument("--group", type=int, default=4,
-                   help="scenes per forward (run_measurer max_group is 8)")
+    p.add_argument("--group", type=int, default=8,
+                   help="scenes per forward (run_measurer's max_group, the "
+                        "production eval grouping)")
     p.add_argument("--calls", type=int, default=8)
     args = p.parse_args()
 
