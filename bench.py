@@ -3,10 +3,14 @@
 
 Definition (BASELINE.md): full training step — device-side augmentation +
 forward + backward + AdamW update — on 256x256 bitemporal S1+S2 pairs
-('s1s2', 6 channels per timestamp) at the config batch size, flagship
-SiameseUNet [64, 128, 256, 512]. The PyTorch reference measured under the
-same definition by tools/bench_reference.py provides ``vs_baseline``
-(see BASELINE.md for the recorded number and caveats).
+('s1s2', 6 channels per timestamp) at the config batch size. The default
+run measures all three training regimes with their headline models
+(supervised SiameseUNet [64,128,256,512] — the primary metric — plus
+dual-task DualTaskSiameseUNet and semi-supervised WhateverNet) and emits
+them in ONE JSON payload; ``--regime`` restricts to a single regime for
+probing. The PyTorch reference measured under the same step definition by
+tools/bench_reference.py provides ``vs_baseline`` (see BASELINE.md for the
+recorded number and caveats).
 
 Timing methodology: K optimizer steps are fused into one dispatch with
 ``lax.scan`` (train_lib.make_scanned_train_step) and every timed window is
@@ -16,7 +20,8 @@ is the only honest synchronization point; the scan also amortizes the
 ~ms-scale tunnel dispatch latency the same way a production trainer would.
 
 Prints ONE JSON line:
-``{"metric": ..., "value": N, "unit": "patches/sec/chip", "vs_baseline": N}``
+``{"metric": ..., "value": N, "unit": "patches/sec/chip", "vs_baseline": N,
+   "regimes": {"supervised": N, "dualtask": N, "semisupervised": N}}``
 """
 
 import argparse
@@ -36,6 +41,14 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 # measured by tools/bench_reference.py on this host (see BASELINE.md).
 TORCH_REFERENCE_PATCHES_PER_SEC = 0.177
 
+# Headline model per regime (the configs' own pairings: siamese.yaml,
+# dtsiamese.yaml, siamese_mmcr_*.yaml).
+REGIME_MODELS = {
+    "supervised": "siameseunet",
+    "dualtask": "dtsiameseunet",
+    "semisupervised": "whatevernet",
+}
+
 
 def build_batches(k: int, batch_size: int, crop: int, rng: np.random.Generator):
     # stack layout: 12 imagery channels (2x2 S1 + 2x4 S2) + 2 buildings + 1 change
@@ -45,39 +58,22 @@ def build_batches(k: int, batch_size: int, crop: int, rng: np.random.Generator):
     return stacks, is_labeled
 
 
-def main() -> int:
-    p = argparse.ArgumentParser()
-    p.add_argument("--model", default="siameseunet")
-    p.add_argument("--batch-size", type=int, default=None)
-    p.add_argument("--crop", type=int, default=256)
-    # 10 scanned steps/call (the trainer's auto max_k) x 10 calls per fetch
-    # = one synchronization per 100 steps, exactly the production LOG_FREQ
-    # cadence the trainer logs at
-    p.add_argument("--steps-per-call", type=int, default=10)
-    p.add_argument("--calls", type=int, default=10)
-    p.add_argument("--warmup-calls", type=int, default=2)
-    p.add_argument("--precision", default="bf16")
-    p.add_argument("--regime", default="supervised")
-    p.add_argument("--assert-min", type=float, default=None,
-                   help="exit 1 if patches/sec/chip falls below this "
-                        "(regression guard; round-2 HEAD: supervised 328.9, "
-                        "dualtask 197.7, semisup 164.2)")
-    args = p.parse_args()
-
+def run_regime(args, regime: str, model_type: str) -> dict:
+    """Measure one regime; returns {value, total, step_ms, chips, loss}."""
     cfg = load_cfg("base")
-    cfg.MODEL.TYPE = args.model
+    cfg.MODEL.TYPE = model_type
     cfg.TRAINER.PRECISION = args.precision
     cfg.AUGMENTATION.CROP_SIZE = args.crop
     batch_size = args.batch_size or cfg.TRAINER.BATCH_SIZE
     cfg.TRAINER.BATCH_SIZE = batch_size
-    if args.regime == "semisupervised":
+    if regime == "semisupervised":
         cfg.DATALOADER.INCLUDE_UNLABELED = True
 
     n_chips = len(jax.devices())
     mesh = data_mesh() if batch_size % n_chips == 0 else data_mesh(jax.devices()[:1])
 
     model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
-    step_fn = train_lib.make_scanned_train_step(model, cfg, args.regime, mesh=mesh)
+    step_fn = train_lib.make_scanned_train_step(model, cfg, regime, mesh=mesh)
     rng = jax.random.PRNGKey(7)
 
     host = np.random.default_rng(0)
@@ -107,19 +103,52 @@ def main() -> int:
     n_steps = args.calls * k
     patches_per_sec = batch_size * n_steps / dt
     per_chip = patches_per_sec / mesh.size
-    result = {
-        "metric": "train_patches_per_sec_per_chip",
-        "value": round(per_chip, 2),
-        "unit": "patches/sec/chip",
-        "vs_baseline": round(per_chip / TORCH_REFERENCE_PATCHES_PER_SEC, 2),
-    }
-    print(json.dumps(result))
-    print(f"# model={args.model} regime={args.regime} batch={batch_size} "
+    print(f"# regime={regime} model={model_type} batch={batch_size} "
           f"crop={args.crop} precision={args.precision} chips={mesh.size} "
           f"backend={jax.default_backend()} steps={n_steps} "
           f"(scan {k}/call) total={patches_per_sec:.1f} patches/s "
           f"step={dt / n_steps * 1e3:.2f} ms loss={loss:.4f}",
           file=sys.stderr)
+    return {"value": round(per_chip, 2), "chips": mesh.size}
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default=None,
+                   help="override the regime's headline model")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--crop", type=int, default=256)
+    # 20 scanned steps/call (the trainer's auto max_k, BASELINE.md
+    # saturation probe) x 5 calls per fetch = one synchronization per 100
+    # steps, exactly the production LOG_FREQ cadence the trainer logs at
+    p.add_argument("--steps-per-call", type=int, default=20)
+    p.add_argument("--calls", type=int, default=5)
+    p.add_argument("--warmup-calls", type=int, default=2)
+    p.add_argument("--precision", default="bf16")
+    p.add_argument("--regime", default=None, choices=list(REGIME_MODELS),
+                   help="measure one regime only (default: all three)")
+    p.add_argument("--assert-min", type=float, default=None,
+                   help="exit 1 if the primary patches/sec/chip falls below "
+                        "this (regression guard; round-2 HEAD: supervised "
+                        "328.9, dualtask 197.7, semisup 164.2)")
+    args = p.parse_args()
+
+    regimes = [args.regime] if args.regime else list(REGIME_MODELS)
+    results = {}
+    for regime in regimes:
+        model_type = args.model or REGIME_MODELS[regime]
+        results[regime] = run_regime(args, regime, model_type)
+
+    primary = regimes[0]
+    per_chip = results[primary]["value"]
+    result = {
+        "metric": "train_patches_per_sec_per_chip",
+        "value": per_chip,
+        "unit": "patches/sec/chip",
+        "vs_baseline": round(per_chip / TORCH_REFERENCE_PATCHES_PER_SEC, 2),
+        "regimes": {r: v["value"] for r, v in results.items()},
+    }
+    print(json.dumps(result))
     if args.assert_min is not None and per_chip < args.assert_min:
         print(f"REGRESSION: {per_chip:.1f} < --assert-min {args.assert_min}",
               file=sys.stderr)

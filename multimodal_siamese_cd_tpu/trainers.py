@@ -127,11 +127,16 @@ def measure_dispatch_latency_ms() -> float:
 def auto_steps_per_execution(log_freq: int, steps_per_epoch: int,
                              dispatch_ms: float,
                              threshold_ms: float = 0.5,
-                             max_k: int = 10) -> int:
+                             max_k: int = 20) -> int:
     """Pick the scan-fusion factor k for STEPS_PER_EXECUTION='auto': when the
     per-step dispatch latency is material (> ``threshold_ms``), the largest
     k <= ``max_k`` that divides both LOG_FREQ and steps/epoch — so the log
-    cadence and epoch accounting stay exact; otherwise 1."""
+    cadence and epoch accounting stay exact; otherwise 1.
+
+    ``max_k`` 20 is from the round-2 scan-saturation probe (BASELINE.md):
+    K=10 left ~1% on the tunneled rig (330.1 vs 333.6 at K=20); K=40 adds
+    only +0.1% more while doubling the input staging footprint, so 20 is
+    the knee."""
     if dispatch_ms <= threshold_ms:
         return 1
     import math

@@ -157,3 +157,37 @@ def test_semisup_window_means_masking():
     assert out["cons_loss"] == pytest.approx(0.3)
     assert out["loss"] == pytest.approx(0.4)
     assert out["labeled_percentage"] == pytest.approx(50.0)
+
+
+def test_dropout_resamples_each_step():
+    """Round-2 advisor finding: the trainer hands the SAME PRNGKey(SEED) to
+    every optimizer step, so dropout must be decorrelated by folding in the
+    step counter inside the step body (train_lib fold_in(rng, state.step)).
+    Pin that siamunet_diff — the only dropout-using model — actually sees a
+    different mask at consecutive step counters, and the identical mask when
+    the counter repeats (determinism)."""
+    cfg = load_cfg("debug")
+    cfg.MODEL.TYPE = "siamunet_diff"
+    cfg.TRAINER.PRECISION = "fp32"
+    cfg.TRAINER.BATCH_SIZE = 2
+    # identity augmentation: any loss difference is dropout's alone
+    for k in ("RANDOM_FLIP", "RANDOM_ROTATE", "COLOR_SHIFT",
+              "GAMMA_CORRECTION"):
+        setattr(cfg.AUGMENTATION, k, False)
+
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    step = train_lib.make_supervised_train_step(model, cfg, mesh=None,
+                                                jit=False)
+    host = np.random.default_rng(0)
+    stack = np.asarray(host.uniform(0, 1, (2, 32, 32, 15)), np.float32)
+    stack[..., 12:] = (stack[..., 12:] > 0.8).astype(np.float32)
+    lab = np.ones((2,), np.float32)
+    rng = jax.random.PRNGKey(cfg.SEED)
+
+    _, m_a = step(state, stack, lab, rng)
+    _, m_b = step(state, stack, lab, rng)
+    assert float(m_a["loss"]) == float(m_b["loss"])  # same counter: same mask
+
+    bumped = state.replace(step=state.step + 1)
+    _, m_next = step(bumped, stack, lab, rng)
+    assert float(m_next["loss"]) != float(m_a["loss"])  # resampled mask
