@@ -16,6 +16,24 @@ Arrays are (H, W, C). Georeferencing is exposed as an :class:`Affine`
 (a, b, c, d, e, f) with ``x = a*col + b*row + c`` — iteration order matches
 rasterio's Affine so tuple-unpacking code keeps working — and a :class:`CRS`
 wrapping an EPSG code.
+
+Supported envelope (the reference reads through rasterio/GDAL, which accepts
+anything — utils/geofiles.py:8-17; this codec covers the GDAL output space
+SpaceNet7/Sentinel tiles live in, and REJECTS the rest loudly):
+
+  * classic TIFF only; BigTIFF (magic 43) raises a clear ``ValueError`` —
+    classic offsets are 32-bit, so files stay < 4 GiB by construction and
+    the writer refuses layouts that would cross that line.
+  * GDAL sparse files: blocks with offset 0 / byte count 0 read as zeros
+    (GDAL's missing-block semantics).
+  * strips or tiles × chunky or planar (PlanarConfiguration 2) × none/
+    LZW/deflate/PackBits × horizontal-differencing predictor (2) in any
+    combination; the floating-point predictor (3) is rejected.
+  * unknown IFD entry field types are skipped (treated as absent), like
+    libtiff; structurally corrupt or truncated files — IFD or block data
+    out of bounds, short blocks, codec bitstream corruption — raise
+    ``ValueError`` (never IndexError/struct.error; fuzzed in
+    tests/test_geotiff_foreign.py).
 """
 
 from __future__ import annotations
@@ -141,13 +159,13 @@ except ImportError:
     _fastcodecs = None
 
 
-def _packbits_decode(data: bytes) -> bytes:
+def _packbits_decode(data: bytes, limit: int = 0) -> bytes:
     if _fastcodecs is not None:
-        return _fastcodecs.packbits_decode(data)
-    return _packbits_decode_py(data)
+        return _fastcodecs.packbits_decode(data, limit)
+    return _packbits_decode_py(data, limit)
 
 
-def _packbits_decode_py(data: bytes) -> bytes:
+def _packbits_decode_py(data: bytes, limit: int = 0) -> bytes:
     out = bytearray()
     i, n = 0, len(data)
     while i < n:
@@ -160,17 +178,21 @@ def _packbits_decode_py(data: bytes) -> bytes:
             out += data[i:i + 1] * (257 - h)
             i += 1
         # h == 128: no-op
+        if limit and len(out) > limit:
+            raise ValueError(
+                "Corrupt PackBits stream: output exceeds the block limit")
     return bytes(out)
 
 
-def _lzw_decode(data: bytes) -> bytes:
+def _lzw_decode(data: bytes, limit: int = 0) -> bytes:
     if _fastcodecs is not None:
-        return _fastcodecs.lzw_decode(data)
-    return _lzw_decode_py(data)
+        return _fastcodecs.lzw_decode(data, limit)
+    return _lzw_decode_py(data, limit)
 
 
-def _lzw_decode_py(data: bytes) -> bytes:
-    """TIFF-variant LZW (MSB-first bit packing, early code-width change)."""
+def _lzw_decode_py(data: bytes, limit: int = 0) -> bytes:
+    """TIFF-variant LZW (MSB-first bit packing, early code-width change).
+    ``limit`` > 0 hard-caps the output (decompression-bomb guard)."""
     CLEAR, EOI = 256, 257
     out = bytearray()
     table: list[bytes] = []
@@ -203,6 +225,8 @@ def _lzw_decode_py(data: bytes) -> bytes:
             continue
 
         if prev is None:
+            if code >= 256:
+                raise ValueError("Corrupt LZW stream: non-literal first code")
             entry = table[code]
         elif code < len(table):
             entry = table[code]
@@ -213,6 +237,9 @@ def _lzw_decode_py(data: bytes) -> bytes:
         else:
             raise ValueError("Corrupt LZW stream: code out of range")
         out += entry
+        if limit and len(out) > limit:
+            raise ValueError(
+                "Corrupt LZW stream: output exceeds the block limit")
         prev = entry
         # TIFF "early change", decoder side: the decoder's table lags the
         # encoder's by one entry, so widen when two slots from the boundary.
@@ -222,15 +249,29 @@ def _lzw_decode_py(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _decompress(data: bytes, compression: int) -> bytes:
+def _decompress(data: bytes, compression: int, expected: int = 0) -> bytes:
+    """Decode one block. ``expected`` (the block's uncompressed byte size,
+    when the caller knows it) bounds the output so a corrupt or malicious
+    bitstream cannot balloon memory (decompression-bomb guard); blocks may
+    legitimately decode to slightly more than the valid area (padded last
+    strips/tiles), so the bound is loose."""
+    limit = expected * 2 + 65536 if expected else 0
     if compression == COMPRESSION_NONE:
         return data
     if compression in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_ADOBE):
+        if limit:
+            d = zlib.decompressobj()
+            out = d.decompress(data, limit)
+            if d.unconsumed_tail:
+                raise ValueError(
+                    f"Corrupt TIFF: deflate block inflates beyond {limit} "
+                    f"bytes (expected ~{expected})")
+            return out
         return zlib.decompress(data)
     if compression == COMPRESSION_LZW:
-        return _lzw_decode(data)
+        return _lzw_decode(data, limit)
     if compression == COMPRESSION_PACKBITS:
-        return _packbits_decode(data)
+        return _packbits_decode(data, limit)
     raise NotImplementedError(f"TIFF compression {compression} not supported")
 
 
@@ -240,25 +281,35 @@ class _TiffIFD:
     def __init__(self, buf: bytes, order: str, offset: int):
         self.buf = buf
         self.order = order
-        (n_entries,) = struct.unpack_from(order + "H", buf, offset)
-        self.tags: dict[int, tuple] = {}
-        pos = offset + 2
-        for _ in range(n_entries):
-            tag, typ, count = struct.unpack_from(order + "HHI", buf, pos)
-            self.tags[tag] = (typ, count, pos + 8)
-            pos += 12
-        (self.next_ifd,) = struct.unpack_from(order + "I", buf, pos)
+        try:
+            (n_entries,) = struct.unpack_from(order + "H", buf, offset)
+            self.tags: dict[int, tuple] = {}
+            pos = offset + 2
+            for _ in range(n_entries):
+                tag, typ, count = struct.unpack_from(order + "HHI", buf, pos)
+                self.tags[tag] = (typ, count, pos + 8)
+                pos += 12
+            (self.next_ifd,) = struct.unpack_from(order + "I", buf, pos)
+        except struct.error as e:
+            raise ValueError(f"Corrupt TIFF: IFD out of bounds ({e})") from None
 
     def value(self, tag: int, default=None):
         if tag not in self.tags:
             return default
         typ, count, value_pos = self.tags[tag]
+        if typ not in _TYPE_FORMATS:
+            # unknown field type: skip the entry like libtiff does
+            return default
         fmt, size = _TYPE_FORMATS[typ]
         total = size * count
         if total <= 4:
             data_pos = value_pos
         else:
             (data_pos,) = struct.unpack_from(self.order + "I", self.buf, value_pos)
+        if data_pos + total > len(self.buf):
+            raise ValueError(
+                f"Corrupt TIFF: tag {tag} data [{data_pos}:{data_pos + total}] "
+                f"beyond end of file ({len(self.buf)} bytes)")
         if typ == 2:  # ASCII
             raw = self.buf[data_pos:data_pos + count]
             return raw.rstrip(b"\0").decode("ascii", errors="replace")
@@ -314,13 +365,20 @@ def imread(path: str | Path) -> tuple[np.ndarray, dict]:
     else:
         raise ValueError(f"Not a TIFF file (bad byte order mark): {path}")
     (magic,) = struct.unpack_from(order + "H", buf, 2)
+    if magic == 43:
+        raise ValueError(
+            f"BigTIFF (magic 43) is not supported: {path} — classic TIFF "
+            f"offsets are 32-bit; re-export the raster as classic TIFF "
+            f"(< 4 GiB), e.g. gdal_translate -co BIGTIFF=NO")
     if magic != 42:
-        raise ValueError(f"Unsupported TIFF magic {magic} (BigTIFF not supported)")
+        raise ValueError(f"Not a TIFF file (magic {magic}, expected 42): {path}")
     (ifd_offset,) = struct.unpack_from(order + "I", buf, 4)
     ifd = _TiffIFD(buf, order, ifd_offset)
 
     width = ifd.scalar(TAG_IMAGE_WIDTH)
     height = ifd.scalar(TAG_IMAGE_LENGTH)
+    if not width or not height:
+        raise ValueError(f"Corrupt TIFF: missing image dimensions: {path}")
     spp = ifd.scalar(TAG_SAMPLES_PER_PIXEL, 1)
     bits = ifd.scalar(TAG_BITS_PER_SAMPLE, 8)
     sample_format = ifd.scalar(TAG_SAMPLE_FORMAT, SAMPLEFORMAT_UINT)
@@ -335,24 +393,69 @@ def imread(path: str | Path) -> tuple[np.ndarray, dict]:
         counts = ifd.value(TAG_TILE_BYTE_COUNTS)
         tw = ifd.scalar(TAG_TILE_WIDTH)
         th = ifd.scalar(TAG_TILE_LENGTH)
+        if not tw or not th:
+            raise ValueError(f"Corrupt TIFF: tiled without tile dimensions: {path}")
     else:
         offsets = ifd.value(TAG_STRIP_OFFSETS)
         counts = ifd.value(TAG_STRIP_BYTE_COUNTS)
         rps = ifd.scalar(TAG_ROWS_PER_STRIP, height)
         rps = min(rps, height)
+        if rps <= 0:
+            raise ValueError(f"Corrupt TIFF: non-positive RowsPerStrip: {path}")
+    if not offsets or not counts:
+        raise ValueError(f"Corrupt TIFF: no strip/tile offsets: {path}")
 
     n_planes = spp if planar == 2 else 1
     samples_per_block = 1 if planar == 2 else spp
-    out = np.empty((height, width, spp), dtype=dtype.newbyteorder("="))
+
+    # Structural consistency BEFORE allocating: the block count implied by
+    # the dimensions must match the offset table exactly — this is what a
+    # well-formed writer emits, and it rejects corrupt/fuzzed dimension tags
+    # (which otherwise demand absurd allocations) cheaply.
+    if tiled:
+        blocks_per_plane = (-(-width // tw)) * (-(-height // th))
+    else:
+        blocks_per_plane = -(-height // rps)
+    n_blocks = blocks_per_plane * n_planes
+    if len(offsets) != n_blocks or len(counts) != n_blocks:
+        raise ValueError(
+            f"Corrupt TIFF: {height}x{width}x{spp} (planar {planar}) implies "
+            f"{n_blocks} blocks but the offset table has {len(offsets)}: {path}")
+    try:
+        out = np.empty((height, width, spp), dtype=dtype.newbyteorder("="))
+    except MemoryError:
+        raise ValueError(
+            f"Corrupt TIFF: implausible dimensions "
+            f"{height}x{width}x{spp}: {path}") from None
 
     def decode_block(idx: int, rows: int, cols: int) -> np.ndarray:
-        raw = _decompress(bytes(buf[offsets[idx]:offsets[idx] + counts[idx]]), compression)
-        block = np.frombuffer(raw, dtype=dtype,
-                              count=rows * cols * samples_per_block)
+        if idx >= len(offsets) or idx >= len(counts):
+            raise ValueError(
+                f"Corrupt TIFF: block {idx} beyond the offset table "
+                f"({len(offsets)} entries): {path}")
+        n_vals = rows * cols * samples_per_block
+        if offsets[idx] == 0 or counts[idx] == 0:
+            # GDAL sparse file: a missing block reads as zeros
+            return np.zeros((rows, cols, samples_per_block), dtype=dtype)
+        if offsets[idx] + counts[idx] > len(buf):
+            raise ValueError(
+                f"Truncated TIFF: block {idx} "
+                f"[{offsets[idx]}:{offsets[idx] + counts[idx]}] beyond end "
+                f"of file ({len(buf)} bytes): {path}")
+        raw = _decompress(bytes(buf[offsets[idx]:offsets[idx] + counts[idx]]),
+                          compression, expected=n_vals * dtype.itemsize)
+        if len(raw) < n_vals * dtype.itemsize:
+            raise ValueError(
+                f"Corrupt TIFF: block {idx} decodes to {len(raw)} bytes, "
+                f"expected {n_vals * dtype.itemsize}: {path}")
+        block = np.frombuffer(raw, dtype=dtype, count=n_vals)
         block = block.reshape(rows, cols * samples_per_block)
         if predictor == 2:
             block = block.reshape(rows, cols, samples_per_block)
             block = _undo_predictor(block).reshape(rows, cols * samples_per_block)
+        elif predictor != 1:
+            raise NotImplementedError(
+                f"TIFF predictor {predictor} not supported")
         return block.reshape(rows, cols, samples_per_block)
 
     if tiled:
@@ -521,6 +624,11 @@ def imwrite(path: str | Path, arr: np.ndarray,
     for s in range(n_strips):
         strip_offsets[s] = off
         off += len(strips[s])
+    if off > 0xFFFFFFFF:
+        raise ValueError(
+            f"Raster would need a {off}-byte file, beyond the 4 GiB classic "
+            f"TIFF offset limit (BigTIFF is out of this codec's envelope); "
+            f"split the raster or write tiles")
 
     # Re-encode the strip-offsets entry now that offsets are known.
     tag, typ, count, _ = entries[strip_offset_entry_idx]

@@ -41,6 +41,9 @@ static int lzw_expand(const LzwEntry *table, uint16_t code, uint8_t *dst,
 }
 
 static PyObject *py_lzw_decode(PyObject *self, PyObject *args) {
+    /* lzw_decode(data, limit=0): `limit` > 0 is a HARD output cap — a
+     * stream expanding beyond it raises ValueError (decompression-bomb
+     * guard; the caller passes a loose bound over the block's true size). */
     Py_buffer src;
     Py_ssize_t expected = 0;
     if (!PyArg_ParseTuple(args, "y*|n", &src, &expected)) return NULL;
@@ -109,6 +112,7 @@ static PyObject *py_lzw_decode(PyObject *self, PyObject *args) {
         }
 
         if (out_len + (Py_ssize_t)entry_len > cap) {
+            if (expected > 0) goto too_big;
             Py_ssize_t newcap = cap * 2 + entry_len;
             uint8_t *grown = (uint8_t *)PyMem_Realloc(out, newcap);
             if (!grown) { PyMem_Free(out); PyBuffer_Release(&src);
@@ -137,11 +141,20 @@ corrupt:
     PyBuffer_Release(&src);
     PyErr_SetString(PyExc_ValueError, "Corrupt LZW stream");
     return NULL;
+
+too_big:
+    PyMem_Free(out);
+    PyBuffer_Release(&src);
+    PyErr_SetString(PyExc_ValueError,
+                    "Corrupt LZW stream: output exceeds the block limit");
+    return NULL;
 }
 
 /* ---------------- PackBits ---------------- */
 
 static PyObject *py_packbits_decode(PyObject *self, PyObject *args) {
+    /* packbits_decode(data, limit=0): `limit` > 0 is a HARD output cap
+     * (same contract as lzw_decode). */
     Py_buffer src;
     Py_ssize_t expected = 0;
     if (!PyArg_ParseTuple(args, "y*|n", &src, &expected)) return NULL;
@@ -160,6 +173,7 @@ static PyObject *py_packbits_decode(PyObject *self, PyObject *args) {
             lit = (Py_ssize_t)h + 1;
             if (i + lit > n) lit = n - i;
             if (out_len + lit > cap) {
+                if (expected > 0) goto too_big;
                 cap = cap * 2 + lit;
                 uint8_t *g = (uint8_t *)PyMem_Realloc(out, cap);
                 if (!g) { PyMem_Free(out); PyBuffer_Release(&src);
@@ -172,6 +186,7 @@ static PyObject *py_packbits_decode(PyObject *self, PyObject *args) {
             if (i >= n) break;
             run = 257 - (Py_ssize_t)h;
             if (out_len + run > cap) {
+                if (expected > 0) goto too_big;
                 cap = cap * 2 + run;
                 uint8_t *g = (uint8_t *)PyMem_Realloc(out, cap);
                 if (!g) { PyMem_Free(out); PyBuffer_Release(&src);
@@ -189,6 +204,13 @@ static PyObject *py_packbits_decode(PyObject *self, PyObject *args) {
         PyBuffer_Release(&src);
         return res;
     }
+
+too_big:
+    PyMem_Free(out);
+    PyBuffer_Release(&src);
+    PyErr_SetString(PyExc_ValueError,
+                    "Corrupt PackBits stream: output exceeds the block limit");
+    return NULL;
 }
 
 static PyMethodDef Methods[] = {
