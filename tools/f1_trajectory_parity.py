@@ -1,0 +1,292 @@
+#!/usr/bin/env python
+"""Full-epoch cross-stack F1-trajectory parity: reference torch vs this repo.
+
+The quality north star (BASELINE.json) — SpaceNet7 change F1 within 0.5 pt
+of the reference — cannot be measured here (no dataset, no rasterio). This
+tool is the closest buildable proxy: it drives the reference's OWN torch
+stack (utils/networks.py SiameseUNet + loss_functions.get_criterion + AdamW,
+the train_supervised.py:63-116 semantics) and this repo's shipped train step
+from IDENTICAL initialization over an IDENTICAL pre-cropped batch sequence
+for a full synthetic epoch, evaluating both every N steps under the
+reference evaluation protocol (utils/evaluation.py:7-41: full scenes,
+batch 1, sigmoid, threshold 0.5, MultiThresholdMetric max-F1) — the torch
+side through the reference's own metrics.MultiThresholdMetric, the JAX side
+through this repo's evaluation.run_measurer in exact-shape mode.
+
+Output: a step -> (F1_ref, F1_tpu) table per split and the max |dF1|;
+exit 1 if it exceeds --tol (default 0.005 == the 0.5 pt tolerance).
+
+Both stacks consume the same in-memory scene items (from this repo's
+dataset in first_last eval mode) so the comparison isolates model + loss +
+optimizer + BN-dynamics parity; the host data pipeline has its own parity
+tests. Augmentation is disabled so the two stacks see bit-identical inputs;
+crops are importance-sampled (20 candidates, weight sum+5 — the reference
+augmentations.py:129-142 distribution) by the tool, once, for both.
+"""
+
+import argparse
+import importlib.util
+import json
+import sys
+import tempfile
+import time
+import types
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REFERENCE = Path("/root/reference")
+
+
+def import_reference_module(name: str):
+    """Import a /root/reference/utils module with utils.experiment_manager
+    stubbed (it needs fvcore, not installed here)."""
+    if "utils" not in sys.modules:
+        utils_pkg = types.ModuleType("utils")
+        em = types.ModuleType("utils.experiment_manager")
+        em.CfgNode = type("CfgNode", (), {})
+        utils_pkg.experiment_manager = em
+        sys.modules["utils"] = utils_pkg
+        sys.modules["utils.experiment_manager"] = em
+    spec = importlib.util.spec_from_file_location(
+        f"ref_{name}", REFERENCE / "utils" / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def reference_f1(torch, ref_metrics, net, items) -> float:
+    """The reference eval protocol (utils/evaluation.py:7-41) verbatim,
+    over in-memory scene items, on the reference's own measurer."""
+    net.eval()
+    thresholds = torch.linspace(0.5, 1, 1)
+    measurer = ref_metrics.MultiThresholdMetric(thresholds)
+    with torch.no_grad():
+        for item in items:
+            x1 = torch.from_numpy(item["x_t1"].transpose(2, 0, 1))[None]
+            x2 = torch.from_numpy(item["x_t2"].transpose(2, 0, 1))[None]
+            y_pred = torch.sigmoid(net(x1, x2))
+            gt = torch.from_numpy(item["y_change"].transpose(2, 0, 1))[None]
+            measurer.add_sample(gt, y_pred)
+    net.train()
+    return float(measurer.compute_f1().max())
+
+
+def repo_f1(evaluation, model, state, items) -> float:
+    """This repo's shipped eval path in exact-shape mode (bucket=1)."""
+    measurer = evaluation.run_measurer(model, state, items,
+                                       np.asarray([0.5]), bucket=1)
+    return float(np.asarray(measurer.compute_f1()).max())
+
+
+def importance_crop(rng, h, w, crop, change, n_candidates=20, weight=5.0):
+    """The reference ImportanceRandomCrop distribution (augmentations.py:
+    129-142): 20 uniform candidates, pick one with p ∝ (label sum + 5)."""
+    ys = rng.integers(0, h - crop + 1, size=n_candidates)
+    xs = rng.integers(0, w - crop + 1, size=n_candidates)
+    weights = np.array([change[y:y + crop, x:x + crop].sum() + weight
+                        for y, x in zip(ys, xs)])
+    k = rng.choice(n_candidates, p=weights / weights.sum())
+    return int(ys[k]), int(xs[k])
+
+
+def build_batch_sequence(train_items, n_steps, batch, crop, seed, n_s1):
+    """Pre-crop the whole epoch once; both stacks consume these arrays.
+    Returns (n_steps, batch, crop, crop, 15) stacks in this repo's joint
+    layout [s1_t1|s1_t2|s2_t1|s2_t2|b_t1|b_t2|change]."""
+    rng = np.random.default_rng(seed)
+    steps = np.empty((n_steps, batch, crop, crop, 15), np.float32)
+    for s in range(n_steps):
+        for b in range(batch):
+            item = train_items[int(rng.integers(len(train_items)))]
+            x1, x2, y = item["x_t1"], item["x_t2"], item["y_change"]
+            h, w = y.shape[:2]
+            i, j = importance_crop(rng, h, w, crop, y[..., 0])
+            c1 = x1[i:i + crop, j:j + crop]
+            c2 = x2[i:i + crop, j:j + crop]
+            cy = y[i:i + crop, j:j + crop]
+            steps[s, b, :, :, 0:n_s1] = c1[..., :n_s1]
+            steps[s, b, :, :, n_s1:2 * n_s1] = c2[..., :n_s1]
+            steps[s, b, :, :, 2 * n_s1:2 * n_s1 + 4] = c1[..., n_s1:]
+            steps[s, b, :, :, 2 * n_s1 + 4:12] = c2[..., n_s1:]
+            steps[s, b, :, :, 12:14] = 0.0  # building labels unused here
+            steps[s, b, :, :, 14:15] = cy
+    return steps
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=128)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--crop", type=int, default=64)
+    p.add_argument("--eval-every", type=int, default=16)
+    p.add_argument("--topology", default="16,32")
+    p.add_argument("--scene", type=int, default=128)
+    p.add_argument("--n-train", type=int, default=6)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--tol", type=float, default=0.005,
+                   help="max |dF1| allowed (0.005 == the 0.5 pt north star)")
+    p.add_argument("--tpu", action="store_true",
+                   help="run the JAX side on the default backend (the TPU) "
+                        "instead of forcing CPU")
+    p.add_argument("--precision", default="fp32", choices=["fp32", "bf16"],
+                   help="this repo's compute precision (bf16 == production)")
+    p.add_argument("--data-dir", default=None)
+    args = p.parse_args()
+
+    import jax  # noqa: E402
+
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+    import torch
+
+    import optax
+    from multimodal_siamese_cd_tpu import evaluation, torch_port, train_lib
+    from multimodal_siamese_cd_tpu.config import load_cfg
+    from multimodal_siamese_cd_tpu.data.dataset import MultimodalCDDataset
+    from multimodal_siamese_cd_tpu.data.synthetic import generate_fixture_dataset
+    from multimodal_siamese_cd_tpu.models import create_network, init_variables
+
+    torch.manual_seed(args.seed)
+    torch.set_num_threads(1)  # 1-core host; oversubscription only slows it
+
+    ref_networks = import_reference_module("networks")
+    ref_losses = import_reference_module("loss_functions")
+    ref_metrics = import_reference_module("metrics")
+
+    # --- synthetic dataset, scene sizes pinned (exact-shape eval) ---------
+    data_dir = args.data_dir or tempfile.mkdtemp(prefix="f1par_")
+    aois = {f"L15-{1000 + i:04d}E-1000N_{i}_0_13": True
+            for i in range(args.n_train + 4)}
+    names = list(aois)
+    train_aois, val_aois = names[:args.n_train], names[args.n_train:args.n_train + 2]
+    test_aois = names[args.n_train + 2:]
+    generate_fixture_dataset(Path(data_dir), seed=args.seed,
+                             scene_size=(args.scene, args.scene),
+                             n_timestamps=4, aois=aois, with_nans=False)
+
+    cfg = load_cfg("base")
+    cfg.MODEL.TYPE = "siameseunet"
+    cfg.MODEL.TOPOLOGY = [int(t) for t in args.topology.split(",")]
+    cfg.MODEL.IN_CHANNELS = 6
+    cfg.TRAINER.PRECISION = args.precision
+    cfg.TRAINER.LR = args.lr
+    cfg.TRAINER.BATCH_SIZE = args.batch
+    cfg.PATHS.DATASET = str(data_dir)
+    cfg.DATASET.TRAINING_IDS = train_aois
+    cfg.DATASET.VALIDATION_IDS = val_aois
+    cfg.DATASET.TEST_IDS = test_aois
+    cfg.DATASET.UNLABELED_IDS = []
+    for k in ("RANDOM_FLIP", "RANDOM_ROTATE", "COLOR_SHIFT",
+              "GAMMA_CORRECTION"):
+        setattr(cfg.AUGMENTATION, k, False)  # identical inputs to both stacks
+
+    def split_items(run_type):
+        ds = MultimodalCDDataset(cfg, run_type, no_augmentations=True,
+                                 dataset_mode="first_last",
+                                 disable_multiplier=True,
+                                 disable_unlabeled=True)
+        return [ds[i] for i in range(len(ds))]
+
+    train_items = split_items("training")
+    eval_items = {"validation": split_items("validation"),
+                  "test": split_items("test")}
+
+    # --- identical init: the reference's own torch default init, ported ---
+    tnet = ref_networks.SiameseUNet(cfg)
+    tnet.train()
+    criterion = ref_losses.get_criterion(cfg.MODEL.LOSS_TYPE)
+    opt = torch.optim.AdamW(tnet.parameters(), lr=args.lr,
+                            betas=(0.9, 0.999), eps=1e-8, weight_decay=0.01)
+
+    model = create_network(cfg)
+    variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+    variables = torch_port.port_reference_state_dict(tnet.state_dict(),
+                                                     variables)
+    state = train_lib.TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=train_lib.make_optimizer(cfg))
+    step_fn = train_lib.make_train_step(model, cfg, "supervised", mesh=None)
+
+    n_s1 = len(cfg.DATALOADER.S1_BANDS)
+    stacks = build_batch_sequence(train_items, args.steps, args.batch,
+                                  args.crop, args.seed + 1, n_s1)
+    layout = train_lib.stack_layout(cfg)
+    ones = np.ones((args.batch,), np.float32)
+    rng_key = jax.random.PRNGKey(cfg.SEED)
+    to_t = lambda a: torch.from_numpy(
+        np.ascontiguousarray(np.asarray(a).transpose(0, 3, 1, 2)))
+
+    print(f"# stacks: torch reference (CPU, fp32) vs this repo "
+          f"({jax.default_backend()}, {args.precision}); "
+          f"model siameseunet {cfg.MODEL.TOPOLOGY}, batch {args.batch}, "
+          f"crop {args.crop}, {args.steps} steps, "
+          f"{len(train_items)}/{len(eval_items['validation'])}/"
+          f"{len(eval_items['test'])} train/val/test scenes at "
+          f"{args.scene}^2", flush=True)
+
+    rows = []
+    deltas = []
+
+    def evaluate(step_no):
+        row = {"step": step_no}
+        for split, items in eval_items.items():
+            f1_ref = reference_f1(torch, ref_metrics, tnet, items)
+            f1_tpu = repo_f1(evaluation, model, state, items)
+            row[f"{split}_ref"] = f1_ref
+            row[f"{split}_tpu"] = f1_tpu
+            deltas.append(abs(f1_ref - f1_tpu))
+        rows.append(row)
+        print(f"step {step_no:4d}  "
+              f"val F1 ref {row['validation_ref']:.4f} / "
+              f"tpu {row['validation_tpu']:.4f}  "
+              f"test F1 ref {row['test_ref']:.4f} / "
+              f"tpu {row['test_tpu']:.4f}  "
+              f"max|d| so far {max(deltas):.4f}", flush=True)
+
+    t0 = time.time()
+    evaluate(0)
+    loss_dev = []
+    for s in range(args.steps):
+        stack = stacks[s]
+        x1, x2, y, _, _ = train_lib.split_stack(stack, layout)
+        opt.zero_grad()
+        t_loss = criterion(tnet(to_t(x1), to_t(x2)), to_t(y))
+        t_loss.backward()
+        opt.step()
+
+        state, metrics = step_fn(state, stack, ones, rng_key)
+        loss_dev.append(abs(float(metrics["loss"]) - float(t_loss.detach())))
+
+        if (s + 1) % args.eval_every == 0 or s + 1 == args.steps:
+            evaluate(s + 1)
+
+    max_delta = max(deltas)
+    final = rows[-1]
+    summary = {
+        "metric": "f1_trajectory_max_abs_delta",
+        "value": round(max_delta, 5),
+        "tol": args.tol,
+        "steps": args.steps,
+        "precision": args.precision,
+        "backend": jax.default_backend(),
+        "final": {k: round(v, 4) for k, v in final.items()},
+        "mean_step_loss_abs_delta": round(float(np.mean(loss_dev)), 6),
+        "runtime_s": round(time.time() - t0, 1),
+    }
+    print(json.dumps(summary))
+    if max_delta > args.tol:
+        print(f"FAIL: max |dF1| {max_delta:.4f} > tol {args.tol}",
+              file=sys.stderr)
+        return 1
+    print(f"PASS: max |dF1| {max_delta:.4f} <= tol {args.tol} over "
+          f"{args.steps} steps ({len(rows)} eval points, 2 splits)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Capture a jax.profiler trace of the scanned train step and print the
 per-op time breakdown (parses the TensorBoard trace.json.gz)."""
+import argparse
 import glob, gzip, json, sys, time
 from collections import defaultdict
 from pathlib import Path
@@ -12,12 +13,24 @@ import jax, jax.numpy as jnp, numpy as np
 from multimodal_siamese_cd_tpu import train_lib
 from multimodal_siamese_cd_tpu.config import load_cfg
 
-bs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+ap = argparse.ArgumentParser()
+ap.add_argument("batch", nargs="?", type=int, default=8)
+ap.add_argument("--regime", default="supervised",
+                choices=["supervised", "dualtask", "semisupervised"])
+ap.add_argument("--model", default=None,
+                help="default: the regime's headline model")
+ap.add_argument("--top", type=int, default=40)
+a = ap.parse_args()
+bs = a.batch
 cfg = load_cfg("base")
-cfg.MODEL.TYPE = "siameseunet"
+cfg.MODEL.TYPE = a.model or {"supervised": "siameseunet",
+                             "dualtask": "dtsiameseunet",
+                             "semisupervised": "whatevernet"}[a.regime]
 cfg.TRAINER.BATCH_SIZE = bs
+if a.regime == "semisupervised":
+    cfg.DATALOADER.INCLUDE_UNLABELED = True
 model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
-step_fn = train_lib.make_scanned_train_step(model, cfg, "supervised", mesh=None)
+step_fn = train_lib.make_scanned_train_step(model, cfg, a.regime, mesh=None)
 rng = jax.random.PRNGKey(7)
 host = np.random.default_rng(0)
 K = 10
@@ -67,6 +80,6 @@ for cat, t in sorted(by_cat.items(), key=lambda kv: -kv[1]):
 print(f"{sum(by_cat.values())*1e3/N_STEPS:9.3f} ms/step  TOTAL device")
 
 print("\ntop ops (ms/step, achieved GB/s):")
-for name, (t, byts, long_name) in sorted(by_op.items(), key=lambda kv: -kv[1][0])[:40]:
+for name, (t, byts, long_name) in sorted(by_op.items(), key=lambda kv: -kv[1][0])[:a.top]:
     gbs = byts / t / 1e9 if t else 0.0
     print(f"{t*1e3/N_STEPS:8.3f} ms {gbs:7.1f} GB/s  {name:32s} {long_name[:90]}")
