@@ -3,14 +3,17 @@
 The reference has no serving layer at all (SURVEY §1: flat research repo,
 no deployment path); this is the TPU-native production extension. A
 trained checkpoint is ahead-of-time exported with :mod:`jax.export` to
-serialized StableHLO artifacts — one per padded scene-size bucket, the
-same static-shape strategy the evaluation stack uses (evaluation.py) —
-and bundled with the weights:
+serialized StableHLO artifacts — one per (batch, padded scene-size)
+bucket, the same static-shape strategy the evaluation stack uses
+(evaluation.py) — and bundled with the weights:
 
     bundle.zip
-      meta.json            buckets, model type, band counts, jax version
+      meta.json            buckets, batch sizes, weight dtype, model type,
+                           band counts, jax version
       variables.npz        flattened {params, batch_stats} leaves
-      fwd_{h}x{w}.jaxexp   jax.export artifact: (leaves..., x1, x2) -> probs
+                           (bf16 leaves stored as uint16 views)
+      fwd_{h}x{w}.jaxexp        batch-1 artifact: (leaves..., x1, x2) -> probs
+      fwd_b{b}_{h}x{w}.jaxexp   batch-b artifacts (b > 1)
 
 Because the exported functions take the weight leaves as a FLAT LIST
 (the pytree structure is baked into the traced graph at export time),
@@ -18,6 +21,16 @@ loading a bundle needs only jax + numpy — no flax, no model code, no
 config system — which is exactly what a lean serving container wants.
 Artifacts can be exported for multiple platforms (e.g. ("tpu", "cpu")) so
 one bundle serves both.
+
+Options:
+  * ``weights_dtype='bf16'`` stores float32 leaves rounded to bfloat16 —
+    half the bundle size (54.8 -> ~27 MB for the flagship; the compute
+    path is bf16 anyway, so serving numerics see only the one-time weight
+    rounding). Lossless default: 'fp32'.
+  * ``batch_sizes=(1, 8)`` additionally exports batched forwards so bulk
+    scoring amortizes per-dispatch overhead the way evaluation's
+    group-of-8 batching does (BASELINE.md: 71.4 vs 39.2 scenes/s at
+    group 8 vs 4); ``predict_batch`` routes through them.
 
 ``ServingModel.predict`` routes a scene to the smallest bucket that fits,
 zero-pads, runs the artifact, and crops back — mirroring
@@ -39,6 +52,12 @@ from jax import export as jax_export
 DEFAULT_BUCKETS = ((256, 256), (512, 512), (1024, 1024))
 
 
+def _bf16():
+    import ml_dtypes  # a jax dependency; present wherever jax is
+
+    return np.dtype(ml_dtypes.bfloat16)
+
+
 def _eval_fn(model, treedef):
     """Eval forward over the FLAT weight-leaf list; the pytree structure is
     closed over here and thus baked into the exported graph."""
@@ -52,15 +71,30 @@ def _eval_fn(model, treedef):
     return fwd
 
 
+def _artifact_name(b: int, h: int, w: int) -> str:
+    return f"fwd_{h}x{w}.jaxexp" if b == 1 else f"fwd_b{b}_{h}x{w}.jaxexp"
+
+
 def export_serving_bundle(model, state, cfg, path,
                           buckets=DEFAULT_BUCKETS,
-                          platforms=None) -> Path:
-    """Export ``state``'s eval forward for each ``(h, w)`` bucket into a
-    self-contained serving bundle at ``path``."""
+                          platforms=None,
+                          weights_dtype: str = "fp32",
+                          batch_sizes=(1,)) -> Path:
+    """Export ``state``'s eval forward for each ``(h, w)`` bucket x batch
+    size into a self-contained serving bundle at ``path``."""
+    if weights_dtype not in ("fp32", "bf16"):
+        raise ValueError(f"weights_dtype must be fp32|bf16, got {weights_dtype!r}")
+    batch_sizes = sorted(set(int(b) for b in batch_sizes))
+    if not batch_sizes or batch_sizes[0] < 1:
+        raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
+
     variables = jax.device_get({"params": state.params,
                                 "batch_stats": state.batch_stats})
     leaves, treedef = jax.tree_util.tree_flatten(variables)
     leaves = [np.asarray(l) for l in leaves]
+    if weights_dtype == "bf16":
+        leaves = [l.astype(_bf16()) if l.dtype == np.float32 else l
+                  for l in leaves]
 
     fwd = _eval_fn(model, treedef)
 
@@ -76,20 +110,27 @@ def export_serving_bundle(model, state, cfg, path,
             platforms = [platforms]
         kwargs["platforms"] = tuple(platforms)
 
+    leaf_specs = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves]
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
         for h, w in buckets:
-            spec = jax.ShapeDtypeStruct((1, h, w, in_channels), np.float32)
-            leaf_specs = [jax.ShapeDtypeStruct(l.shape, l.dtype)
-                          for l in leaves]
-            exported = jax_export.export(jax.jit(fwd), **kwargs)(
-                leaf_specs, spec, spec)
-            z.writestr(f"fwd_{h}x{w}.jaxexp", exported.serialize())
+            for b in batch_sizes:
+                spec = jax.ShapeDtypeStruct((b, h, w, in_channels), np.float32)
+                exported = jax_export.export(jax.jit(fwd), **kwargs)(
+                    leaf_specs, spec, spec)
+                z.writestr(_artifact_name(b, h, w), exported.serialize())
 
         buf = io.BytesIO()
-        np.savez(buf, *leaves)
+        # bf16 leaves ride as uint16 bit patterns: np.savez cannot persist
+        # the custom ml_dtypes dtype, the loader views them back
+        np.savez(buf, *[l.view(np.uint16) if l.dtype == _bf16() else l
+                        for l in leaves])
         z.writestr("variables.npz", buf.getvalue())
         z.writestr("meta.json", json.dumps({
             "buckets": [list(b) for b in buckets],
+            "batch_sizes": batch_sizes,
+            "weights_dtype": weights_dtype,
+            "bf16_leaves": [i for i, l in enumerate(leaves)
+                            if l.dtype == _bf16()],
             "model_type": cfg.MODEL.TYPE,
             "input_mode": cfg.DATALOADER.INPUT_MODE,
             "in_channels": in_channels,
@@ -100,19 +141,24 @@ def export_serving_bundle(model, state, cfg, path,
 
 class ServingModel:
     """A loaded serving bundle. ``predict(x_t1, x_t2)`` takes (H, W, C)
-    float scenes and returns (H, W) change probabilities."""
+    float scenes and returns (H, W) change probabilities; ``predict_batch``
+    scores many scene pairs through the batched artifacts."""
 
     def __init__(self, path):
         with zipfile.ZipFile(Path(path)) as z:
             meta = json.loads(z.read("meta.json"))
             npz = np.load(io.BytesIO(z.read("variables.npz")))
-            self.leaves = [npz[k] for k in npz.files]
+            bf16_leaves = set(meta.get("bf16_leaves", []))
+            self.leaves = [
+                npz[k].view(_bf16()) if i in bf16_leaves else npz[k]
+                for i, k in enumerate(npz.files)]
             self.meta = meta
             self.buckets = sorted(tuple(b) for b in meta["buckets"])
+            self.batch_sizes = sorted(meta.get("batch_sizes", [1]))
             self._fns = {
-                tuple(b): jax_export.deserialize(
-                    z.read(f"fwd_{b[0]}x{b[1]}.jaxexp"))
-                for b in meta["buckets"]}
+                (b, bh, bw): jax_export.deserialize(
+                    z.read(_artifact_name(b, bh, bw)))
+                for bh, bw in self.buckets for b in self.batch_sizes}
 
     def _bucket_for(self, h, w):
         fits = [(bh * bw, bh, bw) for bh, bw in self.buckets
@@ -124,7 +170,7 @@ class ServingModel:
         _, bh, bw = min(fits)  # least padded area among the fitting buckets
         return bh, bw
 
-    def predict(self, x_t1: np.ndarray, x_t2: np.ndarray) -> np.ndarray:
+    def _check_pair(self, x_t1, x_t2):
         h, w, c = x_t1.shape
         if x_t2.shape != x_t1.shape:
             raise ValueError(f"bitemporal shapes differ: x_t1 {x_t1.shape} "
@@ -132,12 +178,51 @@ class ServingModel:
         if c != self.meta["in_channels"]:
             raise ValueError(f"expected {self.meta['in_channels']} channels "
                              f"({self.meta['input_mode']}), got {c}")
+        return h, w
+
+    def predict(self, x_t1: np.ndarray, x_t2: np.ndarray) -> np.ndarray:
+        h, w = self._check_pair(x_t1, x_t2)
         bh, bw = self._bucket_for(h, w)
         pad = lambda a: np.pad(np.asarray(a, np.float32),
                                ((0, bh - h), (0, bw - w), (0, 0)))[None]
-        fn = self._fns[(bh, bw)]
+        fn = self._fns[(1, bh, bw)]
         probs = fn.call(self.leaves, pad(x_t1), pad(x_t2))
         return np.asarray(probs)[0, :h, :w, 0]
+
+    def predict_batch(self, pairs) -> list:
+        """Score ``[(x_t1, x_t2), ...]`` scene pairs; returns per-pair (H, W)
+        probability arrays in input order. Pairs sharing a size bucket are
+        stacked and run through the largest exported batch artifact that
+        fits (a partial final chunk is zero-padded on the batch axis), so
+        bulk scoring amortizes per-dispatch overhead like evaluation's
+        grouped forward does."""
+        results: list = [None] * len(pairs)
+        groups: dict = {}
+        for i, (x1, x2) in enumerate(pairs):
+            h, w = self._check_pair(x1, x2)
+            groups.setdefault(self._bucket_for(h, w), []).append((i, x1, x2))
+
+        max_b = self.batch_sizes[-1]
+        for (bh, bw), members in groups.items():
+            pad = lambda a, h, w: np.pad(np.asarray(a, np.float32),
+                                         ((0, bh - h), (0, bw - w), (0, 0)))
+            for start in range(0, len(members), max_b):
+                chunk = members[start:start + max_b]
+                # smallest exported batch that holds the chunk
+                b = next(b for b in self.batch_sizes if b >= len(chunk)) \
+                    if len(chunk) <= max_b else max_b
+                x1 = np.zeros((b, bh, bw, self.meta["in_channels"]), np.float32)
+                x2 = np.zeros_like(x1)
+                for j, (_, a1, a2) in enumerate(chunk):
+                    h, w = a1.shape[:2]
+                    x1[j] = pad(a1, h, w)
+                    x2[j] = pad(a2, h, w)
+                probs = np.asarray(
+                    self._fns[(b, bh, bw)].call(self.leaves, x1, x2))
+                for j, (idx, a1, _) in enumerate(chunk):
+                    h, w = a1.shape[:2]
+                    results[idx] = probs[j, :h, :w, 0]
+        return results
 
 
 def load_serving_bundle(path) -> ServingModel:

@@ -140,3 +140,52 @@ def test_cli_roundtrip(tmp_path):
     probs = served.predict(x, x)
     assert probs.shape == (32, 32)
     assert np.all((probs >= 0) & (probs <= 1))
+
+
+def test_bf16_weights_bundle(bundle, tmp_path):
+    """bf16 weight storage: roughly half the bundle, predictions within
+    bf16 weight-rounding of the fp32 bundle."""
+    from multimodal_siamese_cd_tpu import serving
+
+    cfg, model, state, fp32_path = bundle
+    path = tmp_path / "bf16.zip"
+    serving.export_serving_bundle(model, state, cfg, path,
+                                  buckets=((32, 32),), weights_dtype="bf16")
+    small = serving.load_serving_bundle(path)
+    full = serving.load_serving_bundle(fp32_path)
+    assert small.meta["weights_dtype"] == "bf16"
+    assert len(small.meta["bf16_leaves"]) > 0
+
+    rng = np.random.default_rng(5)
+    x1 = rng.uniform(0, 1, (32, 32, 6)).astype(np.float32)
+    x2 = rng.uniform(0, 1, (32, 32, 6)).astype(np.float32)
+    np.testing.assert_allclose(small.predict(x1, x2), full.predict(x1, x2),
+                               atol=0.02)
+
+
+def test_batched_artifacts_predict_batch(tmp_path):
+    """Batched buckets: predict_batch must match per-scene predict for a
+    mixed-size, partial-final-chunk workload."""
+    import jax
+    from multimodal_siamese_cd_tpu import serving, train_lib
+
+    cfg = _cfg()
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    path = tmp_path / "batched.zip"
+    serving.export_serving_bundle(model, state, cfg, path,
+                                  buckets=((32, 32), (64, 64)),
+                                  batch_sizes=(1, 4))
+    served = serving.load_serving_bundle(path)
+    assert served.batch_sizes == [1, 4]
+
+    rng = np.random.default_rng(9)
+    sizes = [(32, 32), (30, 28), (64, 64), (40, 50), (32, 32), (33, 40)]
+    pairs = [
+        (rng.uniform(0, 1, (h, w, 6)).astype(np.float32),
+         rng.uniform(0, 1, (h, w, 6)).astype(np.float32))
+        for h, w in sizes]
+
+    batch_out = served.predict_batch(pairs)
+    for (x1, x2), got in zip(pairs, batch_out):
+        assert got.shape == x1.shape[:2]
+        np.testing.assert_allclose(got, served.predict(x1, x2), atol=1e-6)

@@ -27,6 +27,12 @@ def main() -> int:
                         help="comma-separated square bucket sizes")
     parser.add_argument("--platforms", default=None,
                         help="comma-separated export platforms (e.g. tpu,cpu)")
+    parser.add_argument("--weights", default="fp32", choices=["fp32", "bf16"],
+                        help="weight storage dtype (bf16 halves the bundle)")
+    parser.add_argument("--batch-sizes", default="1",
+                        help="comma-separated forward batch sizes, e.g. 1,8 "
+                             "(predict_batch amortizes dispatch like eval's "
+                             "group-of-8 batching)")
     args = parser.parse_args()
     cfg = setup_cfg(args)
 
@@ -34,11 +40,14 @@ def main() -> int:
     model, state, step = checkpoints.load_checkpoint(epoch, cfg)
     buckets = [(int(s), int(s)) for s in args.buckets.split(",")]
     platforms = args.platforms.split(",") if args.platforms else None
+    batch_sizes = [int(b) for b in args.batch_sizes.split(",")]
 
     path = serving.export_serving_bundle(
-        model, state, cfg, args.dest, buckets=buckets, platforms=platforms)
+        model, state, cfg, args.dest, buckets=buckets, platforms=platforms,
+        weights_dtype=args.weights, batch_sizes=batch_sizes)
     print(f"exported step-{step} checkpoint to {path} "
-          f"({path.stat().st_size / 1e6:.1f} MB, buckets={buckets})")
+          f"({path.stat().st_size / 1e6:.1f} MB, buckets={buckets}, "
+          f"batch_sizes={batch_sizes}, weights={args.weights})")
     return 0
 
 
