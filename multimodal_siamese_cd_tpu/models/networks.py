@@ -322,7 +322,12 @@ class SiamUnetDiff(nn.Module):
         dec_widths = [(128, [128, 128, 64]), (64, [64, 64, 32]),
                       (32, [32, 16]), (16, [16, None])]
         for s, (up_w, convs) in enumerate(dec_widths):
-            x = nn.ConvTranspose(up_w, (3, 3), strides=(2, 2), padding="SAME",
+            # padding ((1,2),(1,2)) == torch ConvTranspose2d(k=3, s=2, p=1,
+            # output_padding=1), the reference's upsampler (networks.py:517
+            # et seq.) — 'SAME' is phase-shifted by one pixel (probed
+            # numerically; pinned by test_siamunet_diff_forward_parity)
+            x = nn.ConvTranspose(up_w, (3, 3), strides=(2, 2),
+                                 padding=((1, 2), (1, 2)),
                                  dtype=self.dtype, name=f"upconv{4 - s}")(x)
             skip = jnp.abs(skips1[3 - s] - skips2[3 - s])
             dh = skip.shape[1] - x.shape[1]

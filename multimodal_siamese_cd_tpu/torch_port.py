@@ -170,3 +170,73 @@ def load_reference_checkpoint(path, variables):
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state_dict = ckpt["network"] if "network" in ckpt else ckpt
     return port_reference_state_dict(state_dict, variables), ckpt.get("step")
+
+
+# --------------------------------------------------------------------------
+# FC-Siam-diff (SiamUnet_diff) — flat attribute grammar, own mapping
+# --------------------------------------------------------------------------
+
+def _siamunet_diff_key_map():
+    """torch attribute prefix -> (flax module path, is_transposed_conv).
+
+    The vendored FC-Siam-diff (reference networks.py:466-658) names layers
+    flat — conv11/bn11 ... conv43d, upconv4 — unlike the DoubleConv grammar
+    the generic translator handles. Encoder stage s has convs conv{s}{i};
+    decoder stage s applies conv{s}{j}d in DESCENDING j order, which maps to
+    this repo's dec{s}_{1..} application order (models/networks.py
+    SiamUnetDiff); conv11d is the final logits head ('outc')."""
+    mapping = {}
+    widths = [2, 2, 3, 3]  # convs per encoder stage
+    for s, n in enumerate(widths, start=1):
+        for i in range(1, n + 1):
+            mapping[f"conv{s}{i}"] = ((f"enc{s}_{i}", "conv"), False)
+            mapping[f"bn{s}{i}"] = ((f"enc{s}_{i}", "bn"), None)
+    for s in (4, 3, 2, 1):
+        mapping[f"upconv{s}"] = ((f"upconv{s}",), True)
+        dec_js = {4: (3, 2, 1), 3: (3, 2, 1), 2: (2, 1), 1: (2,)}[s]
+        for idx, j in enumerate(dec_js, start=1):
+            mapping[f"conv{s}{j}d"] = ((f"dec{s}_{idx}", "conv"), True)
+            mapping[f"bn{s}{j}d"] = ((f"dec{s}_{idx}", "bn"), None)
+    mapping["conv11d"] = (("outc",), True)
+    return mapping
+
+
+def port_siamunet_diff_state_dict(state_dict, variables):
+    """Port a reference ``SiamUnet_diff`` state_dict into the flax
+    :class:`..models.networks.SiamUnetDiff` variables."""
+    mapping = _siamunet_diff_key_map()
+
+    def plain(d):
+        if hasattr(d, "items"):
+            return {k: plain(v) for k, v in d.items()}
+        return d
+
+    out = plain(variables)  # mutable plain-dict copy (may be a FrozenDict)
+
+    def assign(coll_path, arr):
+        cur = out
+        for k in coll_path[:-1]:
+            cur = cur[k]
+        want = cur[coll_path[-1]]
+        if arr.shape != want.shape:
+            raise ValueError(f"{coll_path}: shape {arr.shape} != {want.shape}")
+        cur[coll_path[-1]] = jnp.asarray(arr, want.dtype)
+
+    for key, value in state_dict.items():
+        if key.startswith("module."):
+            key = key[len("module."):]
+        attr, leaf = key.rsplit(".", 1)
+        if leaf == "num_batches_tracked":
+            continue
+        path, transposed = mapping[attr]
+        arr = _to_numpy(value)
+        if transposed is None:  # BatchNorm
+            coll, name = _BN_LEAVES[leaf]
+            assign((coll,) + path + (name,), arr)
+        else:
+            name = "kernel" if leaf == "weight" else "bias"
+            if leaf == "weight":
+                arr = _conv_transpose_kernel(arr) if transposed \
+                    else _conv_kernel(arr)
+            assign(("params",) + path + (name,), arr)
+    return out

@@ -591,3 +591,51 @@ def test_dualtask_train_mode_bn_stat_parity(ref_networks):
     # every BN in inc/encoder/decoders compared: (1 inc + 2 down + 2x2 up)
     # DoubleConvs x 2 BNs x 2 stats = 28 leaves for topology [16, 32]
     assert checked == 28
+
+
+def test_siamunet_diff_forward_parity(ref_networks):
+    """Eval-mode forward parity for the vendored FC-Siam-diff (reference
+    networks.py:466-658; dead code upstream — unreachable from the factory —
+    but registered here, so its conv/convT/replication-pad/abs-diff
+    semantics are pinned too). The reference class reads legacy cfg keys
+    (DATALOADER.SENSOR / SENTINEL1_BANDS / SENTINEL2_BANDS) and takes ONE
+    concatenated input tensor; ours takes (x_t1, x_t2)."""
+    import torch
+
+    import jax
+    from multimodal_siamese_cd_tpu import torch_port
+    from multimodal_siamese_cd_tpu.models import create_network, init_variables
+
+    cfg = _cfg("siamunet_diff")
+    # the legacy keys the vendored class trusts (SURVEY §2.6 item 7)
+    cfg.DATALOADER.SENSOR = "s1s2"
+    cfg.DATALOADER.SENTINEL1_BANDS = list(cfg.DATALOADER.S1_BANDS)
+    cfg.DATALOADER.SENTINEL2_BANDS = list(cfg.DATALOADER.S2_BANDS)
+
+    tnet = ref_networks.SiamUnet_diff(cfg)
+    _randomize(torch, tnet, seed=61)
+    tnet.eval()
+
+    model = create_network(cfg)
+    variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+    variables = torch_port.port_siamunet_diff_state_dict(
+        tnet.state_dict(), variables)
+
+    rng = np.random.default_rng(13)
+    n_s1, n_s2 = len(cfg.DATALOADER.S1_BANDS), len(cfg.DATALOADER.S2_BANDS)
+    s1_t1 = rng.uniform(0, 1, (2, 32, 32, n_s1)).astype(np.float32)
+    s1_t2 = rng.uniform(0, 1, (2, 32, 32, n_s1)).astype(np.float32)
+    s2_t1 = rng.uniform(0, 1, (2, 32, 32, n_s2)).astype(np.float32)
+    s2_t2 = rng.uniform(0, 1, (2, 32, 32, n_s2)).astype(np.float32)
+
+    # reference input layout: [s1_t1 | s1_t2 | s2_t1 | s2_t2] channels
+    x = np.concatenate([s1_t1, s1_t2, s2_t1, s2_t2], axis=-1)
+    with torch.no_grad():
+        t_out = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    x_t1 = np.concatenate([s1_t1, s2_t1], axis=-1)
+    x_t2 = np.concatenate([s1_t2, s2_t2], axis=-1)
+    j_out = model.apply(variables, x_t1, x_t2, train=False)
+
+    np.testing.assert_allclose(np.asarray(j_out)[..., 0],
+                               t_out.numpy()[:, 0], atol=2e-5, rtol=1e-4)
