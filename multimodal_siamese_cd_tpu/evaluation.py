@@ -11,11 +11,15 @@ from the confusion counts via a validity mask; compilation cost is bounded
 by the number of distinct buckets, not scenes. Caveat: zero-padding is seen
 by the network as image content, so predictions for VALID pixels within the
 receptive field of a padded edge differ slightly from an unpadded forward —
-scenes whose sides are already bucket multiples are bit-exact. For
-reference-exact numbers on arbitrary scene sizes set
-``TRAINER.EVAL_PAD_MULTIPLE: 1`` (exact shapes; one compile per distinct
-scene shape — the models handle any size natively via floor-pooling and
-pad-to-skip upsampling).
+scenes whose sides are already bucket multiples are bit-exact. The effect
+was MEASURED at the SpaceNet7 shape class (tools/eval_exactness.py:
+~1000^2 scenes with non-64-multiple sides, trained checkpoint, real chip):
+max |dF1| = 4.7e-5 — two orders of magnitude inside the 0.5 pt quality
+tolerance, so padded buckets remain the deliberate default everywhere,
+including the offline assessment scripts. For reference-exact numbers on
+arbitrary scene sizes set ``TRAINER.EVAL_PAD_MULTIPLE: 1`` (exact shapes;
+one compile per distinct scene shape — the models handle any size natively
+via floor-pooling and pad-to-skip upsampling).
 
 ``inference_loop`` is the rebuilt version of the reference's missing
 ``evaluation.inference_loop`` that assessment_change.py:59 calls — the

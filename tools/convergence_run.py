@@ -71,6 +71,8 @@ def main() -> int:
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--multiplier", type=int, default=64)
     p.add_argument("--log-freq", type=int, default=10)
+    p.add_argument("--save-checkpoints", default=None,
+                   help="SAVE_CHECKPOINTS override, e.g. '[1]'")
     args = p.parse_args()
 
     script, config = REGIMES[args.regime]
@@ -91,6 +93,8 @@ def main() -> int:
            "DATALOADER.TRAINING_MULTIPLIER", str(args.multiplier),
            "LOG_FREQ", str(args.log_freq),
            "TRAINER.EPOCHS", str(args.epochs)]
+    if args.save_checkpoints is not None:
+        cmd += ["SAVE_CHECKPOINTS", args.save_checkpoints]
     print("running:", " ".join(cmd), flush=True)
     rc = subprocess.run(cmd, cwd=REPO).returncode
     if rc:

@@ -59,7 +59,9 @@ def import_reference_module(name: str):
 
 def reference_f1(torch, ref_metrics, net, items) -> float:
     """The reference eval protocol (utils/evaluation.py:7-41) verbatim,
-    over in-memory scene items, on the reference's own measurer."""
+    over in-memory scene items, on the reference's own measurer. Multi-head
+    models contribute their first (change/fusion) head, matching this
+    repo's evaluation semantics (train_lib.eval_forward)."""
     net.eval()
     thresholds = torch.linspace(0.5, 1, 1)
     measurer = ref_metrics.MultiThresholdMetric(thresholds)
@@ -67,7 +69,10 @@ def reference_f1(torch, ref_metrics, net, items) -> float:
         for item in items:
             x1 = torch.from_numpy(item["x_t1"].transpose(2, 0, 1))[None]
             x2 = torch.from_numpy(item["x_t2"].transpose(2, 0, 1))[None]
-            y_pred = torch.sigmoid(net(x1, x2))
+            logits = net(x1, x2)
+            if isinstance(logits, tuple):
+                logits = logits[0]
+            y_pred = torch.sigmoid(logits)
             gt = torch.from_numpy(item["y_change"].transpose(2, 0, 1))[None]
             measurer.add_sample(gt, y_pred)
     net.train()
@@ -94,14 +99,18 @@ def importance_crop(rng, h, w, crop, change, n_candidates=20, weight=5.0):
 
 def build_batch_sequence(train_items, n_steps, batch, crop, seed, n_s1):
     """Pre-crop the whole epoch once; both stacks consume these arrays.
-    Returns (n_steps, batch, crop, crop, 15) stacks in this repo's joint
-    layout [s1_t1|s1_t2|s2_t1|s2_t2|b_t1|b_t2|change]."""
+    Returns ((n_steps, batch, crop, crop, 15) stacks in this repo's joint
+    layout [s1_t1|s1_t2|s2_t1|s2_t2|b_t1|b_t2|change], (n_steps, batch)
+    is_labeled). Items carry ``item['is_labeled']``; unlabeled crops get
+    zeroed labels (reference datasets.py:145)."""
     rng = np.random.default_rng(seed)
     steps = np.empty((n_steps, batch, crop, crop, 15), np.float32)
+    labeled = np.empty((n_steps, batch), np.float32)
     for s in range(n_steps):
         for b in range(batch):
             item = train_items[int(rng.integers(len(train_items)))]
             x1, x2, y = item["x_t1"], item["x_t2"], item["y_change"]
+            is_lab = float(item.get("is_labeled", True))
             h, w = y.shape[:2]
             i, j = importance_crop(rng, h, w, crop, y[..., 0])
             c1 = x1[i:i + crop, j:j + crop]
@@ -111,13 +120,58 @@ def build_batch_sequence(train_items, n_steps, batch, crop, seed, n_s1):
             steps[s, b, :, :, n_s1:2 * n_s1] = c2[..., :n_s1]
             steps[s, b, :, :, 2 * n_s1:2 * n_s1 + 4] = c1[..., n_s1:]
             steps[s, b, :, :, 2 * n_s1 + 4:12] = c2[..., n_s1:]
-            steps[s, b, :, :, 12:14] = 0.0  # building labels unused here
-            steps[s, b, :, :, 14:15] = cy
-    return steps
+            for ch, key in ((12, "y_sem_t1"), (13, "y_sem_t2")):
+                sem = item.get(key)
+                steps[s, b, :, :, ch:ch + 1] = \
+                    sem[i:i + crop, j:j + crop] if sem is not None else 0.0
+            steps[s, b, :, :, 14:15] = cy if is_lab else 0.0
+            labeled[s, b] = is_lab
+    return steps, labeled
+
+
+def make_torch_step(torch, regime, tnet, criterion, cons_criterion,
+                    cons_is_l2, alpha, to_t):
+    """One reference-semantics optimizer objective per regime:
+    supervised  — train_supervised.py:71-75
+    dualtask    — train_supervised_dualtask.py:73-85 (rebuilt intent)
+    semisup     — train_semisupervised.py:74-118 (boolean partitions +
+                  sup-only/cons-only/both fallback)"""
+    def supervised(x1, x2, y, ys1, ys2, labeled):
+        return criterion(tnet(to_t(x1), to_t(x2)), to_t(y))
+
+    def dualtask(x1, x2, y, ys1, ys2, labeled):
+        lc, l1, l2 = tnet(to_t(x1), to_t(x2))
+        return (criterion(lc, to_t(y))
+                + (criterion(l1, to_t(ys1)) + criterion(l2, to_t(ys2))) / 2) / 2
+
+    def semisup(x1, x2, y, ys1, ys2, labeled):
+        is_lab = torch.from_numpy(labeled.astype(bool))
+        lf, l1, l2 = tnet(to_t(x1), to_t(x2))
+        y_t = to_t(y)
+        sup_loss = cons_loss = None
+        if is_lab.any():
+            sup_loss = alpha * (criterion(lf[is_lab], y_t[is_lab])
+                                + criterion(l1[is_lab], y_t[is_lab])
+                                + criterion(l2[is_lab], y_t[is_lab])) / 3
+        if not is_lab.all():
+            nl = torch.logical_not(is_lab)
+            if cons_is_l2:
+                cons_loss = cons_criterion(torch.sigmoid(l1[nl]),
+                                           torch.sigmoid(l2[nl]))
+            else:
+                cons_loss = cons_criterion(l1[nl], torch.sigmoid(l2[nl]))
+            cons_loss = (1 - alpha) * cons_loss
+        return (cons_loss if sup_loss is None else
+                sup_loss if cons_loss is None else sup_loss + cons_loss)
+
+    return {"supervised": supervised, "dualtask": dualtask,
+            "semisupervised": semisup}[regime]
 
 
 def main() -> int:
     p = argparse.ArgumentParser()
+    p.add_argument("--regime", default="supervised",
+                   choices=["supervised", "dualtask", "semisupervised"])
     p.add_argument("--steps", type=int, default=128)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--crop", type=int, default=64)
@@ -134,6 +188,17 @@ def main() -> int:
                         "instead of forcing CPU")
     p.add_argument("--precision", default="fp32", choices=["fp32", "bf16"],
                    help="this repo's compute precision (bf16 == production)")
+    p.add_argument("--unpacked", action="store_true",
+                   help="MODEL.PACKED_FULLRES: False — the reference-shaped "
+                        "graph; isolates fp-reassociation drift from the "
+                        "packed layout (exact math, different summation "
+                        "order) when attributing trajectory deltas")
+    p.add_argument("--chaos-floor", action="store_true",
+                   help="calibration mode: train the TORCH reference twice — "
+                        "identical except ONE weight perturbed by 1e-6 — and "
+                        "report the same max |dF1|. This is the trajectory's "
+                        "intrinsic fp-chaos floor; cross-stack deltas at or "
+                        "below it carry no parity signal")
     p.add_argument("--data-dir", default=None)
     args = p.parse_args()
 
@@ -158,72 +223,130 @@ def main() -> int:
     ref_metrics = import_reference_module("metrics")
 
     # --- synthetic dataset, scene sizes pinned (exact-shape eval) ---------
+    semisup = args.regime == "semisupervised"
+    n_unlab = 2 if semisup else 0
     data_dir = args.data_dir or tempfile.mkdtemp(prefix="f1par_")
-    aois = {f"L15-{1000 + i:04d}E-1000N_{i}_0_13": True
-            for i in range(args.n_train + 4)}
-    names = list(aois)
-    train_aois, val_aois = names[:args.n_train], names[args.n_train:args.n_train + 2]
-    test_aois = names[args.n_train + 2:]
+    names = [f"L15-{1000 + i:04d}E-1000N_{i}_0_13"
+             for i in range(args.n_train + 4 + n_unlab)]
+    train_aois = names[:args.n_train]
+    val_aois = names[args.n_train:args.n_train + 2]
+    test_aois = names[args.n_train + 2:args.n_train + 4]
+    unlab_aois = names[args.n_train + 4:]
+    aois = {a: a not in unlab_aois for a in names}
     generate_fixture_dataset(Path(data_dir), seed=args.seed,
                              scene_size=(args.scene, args.scene),
                              n_timestamps=4, aois=aois, with_nans=False)
 
     cfg = load_cfg("base")
-    cfg.MODEL.TYPE = "siameseunet"
+    cfg.MODEL.TYPE = {"supervised": "siameseunet",
+                      "dualtask": "dtsiameseunet",
+                      "semisupervised": "whatevernet"}[args.regime]
     cfg.MODEL.TOPOLOGY = [int(t) for t in args.topology.split(",")]
     cfg.MODEL.IN_CHANNELS = 6
     cfg.TRAINER.PRECISION = args.precision
     cfg.TRAINER.LR = args.lr
     cfg.TRAINER.BATCH_SIZE = args.batch
+    if args.unpacked:
+        cfg.MODEL.PACKED_FULLRES = False
     cfg.PATHS.DATASET = str(data_dir)
     cfg.DATASET.TRAINING_IDS = train_aois
     cfg.DATASET.VALIDATION_IDS = val_aois
     cfg.DATASET.TEST_IDS = test_aois
-    cfg.DATASET.UNLABELED_IDS = []
+    cfg.DATASET.UNLABELED_IDS = unlab_aois
+    if args.regime == "dualtask":
+        cfg.DATALOADER.INCLUDE_BUILDING_LABELS = True
+    if semisup:
+        cfg.DATALOADER.INCLUDE_UNLABELED = True
     for k in ("RANDOM_FLIP", "RANDOM_ROTATE", "COLOR_SHIFT",
               "GAMMA_CORRECTION"):
         setattr(cfg.AUGMENTATION, k, False)  # identical inputs to both stacks
 
-    def split_items(run_type):
+    def split_items(run_type, with_unlabeled=False):
         ds = MultimodalCDDataset(cfg, run_type, no_augmentations=True,
                                  dataset_mode="first_last",
                                  disable_multiplier=True,
-                                 disable_unlabeled=True)
+                                 disable_unlabeled=not with_unlabeled)
         return [ds[i] for i in range(len(ds))]
 
-    train_items = split_items("training")
+    train_items = split_items("training", with_unlabeled=semisup)
     eval_items = {"validation": split_items("validation"),
                   "test": split_items("test")}
 
     # --- identical init: the reference's own torch default init, ported ---
-    tnet = ref_networks.SiameseUNet(cfg)
+    torch_cls = {"supervised": ref_networks.SiameseUNet,
+                 "dualtask": ref_networks.DualTaskSiameseUNet,
+                 "semisupervised": ref_networks.WhateverNet}[args.regime]
+    tnet = torch_cls(cfg)
     tnet.train()
     criterion = ref_losses.get_criterion(cfg.MODEL.LOSS_TYPE)
+    cons_criterion = ref_losses.get_criterion(
+        cfg.CONSISTENCY_TRAINER.LOSS_TYPE)
+    cons_is_l2 = cfg.CONSISTENCY_TRAINER.LOSS_TYPE == "L2"
+    alpha = float(cfg.CONSISTENCY_TRAINER.LOSS_FACTOR)
     opt = torch.optim.AdamW(tnet.parameters(), lr=args.lr,
                             betas=(0.9, 0.999), eps=1e-8, weight_decay=0.01)
 
-    model = create_network(cfg)
-    variables = init_variables(model, cfg, jax.random.PRNGKey(0))
-    variables = torch_port.port_reference_state_dict(tnet.state_dict(),
-                                                     variables)
-    state = train_lib.TrainState.create(
-        apply_fn=model.apply, params=variables["params"],
-        batch_stats=variables["batch_stats"],
-        tx=train_lib.make_optimizer(cfg))
-    step_fn = train_lib.make_train_step(model, cfg, "supervised", mesh=None)
-
     n_s1 = len(cfg.DATALOADER.S1_BANDS)
-    stacks = build_batch_sequence(train_items, args.steps, args.batch,
-                                  args.crop, args.seed + 1, n_s1)
+    stacks, labeled = build_batch_sequence(
+        train_items, args.steps, args.batch, args.crop, args.seed + 1, n_s1)
     layout = train_lib.stack_layout(cfg)
-    ones = np.ones((args.batch,), np.float32)
-    rng_key = jax.random.PRNGKey(cfg.SEED)
     to_t = lambda a: torch.from_numpy(
         np.ascontiguousarray(np.asarray(a).transpose(0, 3, 1, 2)))
+    torch_step = make_torch_step(torch, args.regime, tnet, criterion,
+                                 cons_criterion, cons_is_l2, alpha, to_t)
 
-    print(f"# stacks: torch reference (CPU, fp32) vs this repo "
-          f"({jax.default_backend()}, {args.precision}); "
-          f"model siameseunet {cfg.MODEL.TOPOLOGY}, batch {args.batch}, "
+    # Side B: this repo's stack — or, in --chaos-floor calibration mode, a
+    # SECOND torch net identical up to a 1e-6 single-weight perturbation.
+    if args.chaos_floor:
+        import copy
+
+        tnet2 = copy.deepcopy(tnet)
+        tnet2.train()
+        with torch.no_grad():
+            next(tnet2.parameters()).view(-1)[0] += 1e-6
+        opt2 = torch.optim.AdamW(tnet2.parameters(), lr=args.lr,
+                                 betas=(0.9, 0.999), eps=1e-8,
+                                 weight_decay=0.01)
+        torch_step2 = make_torch_step(torch, args.regime, tnet2, criterion,
+                                      cons_criterion, cons_is_l2, alpha, to_t)
+
+        def side_b_eval(items):
+            return reference_f1(torch, ref_metrics, tnet2, items)
+
+        def side_b_step(s, parts):
+            opt2.zero_grad()
+            loss = torch_step2(*parts, labeled[s])
+            loss.backward()
+            opt2.step()
+            return float(loss.detach())
+
+        side_b_desc = "torch + 1e-6 perturbation (chaos-floor calibration)"
+    else:
+        model = create_network(cfg)
+        variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+        variables = torch_port.port_reference_state_dict(tnet.state_dict(),
+                                                         variables)
+        state = train_lib.TrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            tx=train_lib.make_optimizer(cfg))
+        step_fn = train_lib.make_train_step(model, cfg, args.regime,
+                                            mesh=None)
+        rng_key = jax.random.PRNGKey(cfg.SEED)
+
+        def side_b_eval(items):
+            return repo_f1(evaluation, model, state, items)
+
+        def side_b_step(s, parts):
+            nonlocal state
+            state, metrics = step_fn(state, stacks[s], labeled[s], rng_key)
+            return float(metrics["loss"])
+
+        side_b_desc = (f"this repo ({jax.default_backend()}, "
+                       f"{args.precision}, packed={not args.unpacked})")
+
+    print(f"# {args.regime}: torch reference (CPU, fp32) vs {side_b_desc}; "
+          f"model {cfg.MODEL.TYPE} {cfg.MODEL.TOPOLOGY}, batch {args.batch}, "
           f"crop {args.crop}, {args.steps} steps, "
           f"{len(train_items)}/{len(eval_items['validation'])}/"
           f"{len(eval_items['test'])} train/val/test scenes at "
@@ -236,7 +359,7 @@ def main() -> int:
         row = {"step": step_no}
         for split, items in eval_items.items():
             f1_ref = reference_f1(torch, ref_metrics, tnet, items)
-            f1_tpu = repo_f1(evaluation, model, state, items)
+            f1_tpu = side_b_eval(items)
             row[f"{split}_ref"] = f1_ref
             row[f"{split}_tpu"] = f1_tpu
             deltas.append(abs(f1_ref - f1_tpu))
@@ -253,14 +376,14 @@ def main() -> int:
     loss_dev = []
     for s in range(args.steps):
         stack = stacks[s]
-        x1, x2, y, _, _ = train_lib.split_stack(stack, layout)
+        parts = train_lib.split_stack(stack, layout)
         opt.zero_grad()
-        t_loss = criterion(tnet(to_t(x1), to_t(x2)), to_t(y))
+        t_loss = torch_step(*parts, labeled[s])
         t_loss.backward()
         opt.step()
 
-        state, metrics = step_fn(state, stack, ones, rng_key)
-        loss_dev.append(abs(float(metrics["loss"]) - float(t_loss.detach())))
+        b_loss = side_b_step(s, parts)
+        loss_dev.append(abs(b_loss - float(t_loss.detach())))
 
         if (s + 1) % args.eval_every == 0 or s + 1 == args.steps:
             evaluate(s + 1)
@@ -269,10 +392,13 @@ def main() -> int:
     final = rows[-1]
     summary = {
         "metric": "f1_trajectory_max_abs_delta",
+        "regime": args.regime,
         "value": round(max_delta, 5),
         "tol": args.tol,
         "steps": args.steps,
         "precision": args.precision,
+        "packed": not args.unpacked,
+        "mode": "chaos_floor" if args.chaos_floor else "cross_stack",
         "backend": jax.default_backend(),
         "final": {k: round(v, 4) for k, v in final.items()},
         "mean_step_loss_abs_delta": round(float(np.mean(loss_dev)), 6),
