@@ -138,6 +138,11 @@ class TrainLoader:
                 submitted += 1
             for done in range(len(batches)):
                 batch = futures[done].result()
+                # Drop the completed future NOW: a Future retains its result,
+                # so keeping the list intact pins every batch of the epoch
+                # (~31 MB each at batch 8) in memory — measured 4-6x loader
+                # slowdown from allocator/page churn within ~5 batches.
+                futures[done] = None
                 if submitted < len(batches):
                     futures.append(pool.submit(*make_task(epoch, submitted,
                                                           batches[submitted])))

@@ -372,3 +372,27 @@ def test_prefetch_to_device_propagates_errors():
     next(stream)
     with pytest.raises(RuntimeError, match="loader exploded"):
         list(stream)
+
+
+def test_threaded_loader_releases_consumed_batches(cfg):
+    """The epoch iterator must drop each completed Future immediately: a
+    Future retains its result, so keeping the per-epoch futures list intact
+    pins EVERY consumed batch (~31 MB each in production) for the whole
+    epoch — measured as a 4-6x loader slowdown from allocator churn within
+    a few batches (round-3 soak finding). Pin via weakref: a consumed
+    batch's array must be collectable after a few more batches arrive."""
+    import gc
+    import weakref
+
+    cfg.DATALOADER.TRAINING_MULTIPLIER = 8  # enough batches per epoch
+    ds = MultimodalCDDataset(cfg, "training", return_stack=True,
+                             crop_only=True)
+    loader = TrainLoader(ds, batch_size=2, num_workers=1, seed=5)
+    it = iter(loader)
+    first = next(it)
+    ref = weakref.ref(first["stack"])
+    del first
+    for _ in range(3):
+        next(it)
+    gc.collect()
+    assert ref() is None, "consumed batch still pinned by the futures list"

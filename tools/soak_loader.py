@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""1-core soak: does the loader's 357-vs-329 samples/s margin survive the
+host work that in-training evaluation interleaves at LOG_FREQ cadence?
+
+The host VM has ONE core. The training loader sustains ~357 samples/s
+(crop-first path, 1024^2 scenes) against the chip's ~329 patches/s — an 8%
+margin measured with the loader running alone. Every LOG_FREQ=100 steps the
+trainer also runs two eval passes whose HOST side (GeoTIFF/cache reads,
+pad_to_bucket copies, measurer confusion math) competes for the same core.
+This tool measures the loader's steady-state rate alone and then with a
+concurrent thread replaying exactly that eval host work in a loop — the
+worst case, since real evals are periodic, not continuous.
+
+Pure host measurement (no TPU): device dispatch is not the contended
+resource; on this rig it would only add tunnel artifacts.
+
+Prints one JSON line with both rates and the degradation; the margin
+verdict goes to BASELINE.md.
+"""
+
+import argparse
+import json
+import sys
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def eval_host_work_loop(stop: threading.Event, ds_items, counters) -> None:
+    """Replay the eval pass's host-side work continuously: scene fetch from
+    the dataset (cache read + first_last assembly), pad_to_bucket, and the
+    measurer's thresholded confusion accumulation on the padded shapes."""
+    from multimodal_siamese_cd_tpu.evaluation import pad_to_bucket
+    from multimodal_siamese_cd_tpu.metrics import MultiThresholdMetric
+
+    thresholds = np.asarray([0.5])
+    rng = np.random.default_rng(0)
+    while not stop.is_set():
+        measurer = MultiThresholdMetric(thresholds)
+        for item in ds_items:
+            x1, valid = pad_to_bucket(item["x_t1"])
+            pad_to_bucket(item["x_t2"])
+            y, _ = pad_to_bucket(item["y_change"])
+            # the probabilities a real eval feeds back arrive from device;
+            # synthesize the same-shaped array (host cost is identical)
+            probs = rng.random(y.shape[:2], np.float32)
+            measurer.add_sample(y[None, ..., 0], probs[None],
+                                valid_mask=valid[None])
+            counters["eval_scenes"] += 1
+            if stop.is_set():
+                return
+
+
+def measure_loader(loader, seconds: float) -> float:
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < seconds:
+        for batch in loader:
+            n += batch["stack"].shape[0]
+            if time.perf_counter() - t0 >= seconds:
+                break
+    return n / (time.perf_counter() - t0)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--scene", type=int, default=1000)
+    p.add_argument("--seconds", type=float, default=30.0)
+    p.add_argument("--batch", type=int, default=8)
+    args = p.parse_args()
+
+    from multimodal_siamese_cd_tpu.config import load_cfg
+    from multimodal_siamese_cd_tpu.data.dataset import MultimodalCDDataset
+    from multimodal_siamese_cd_tpu.data.loader import TrainLoader
+    from multimodal_siamese_cd_tpu.data.synthetic import generate_fixture_dataset
+
+    data = Path(f"/tmp/soakds{args.scene}")
+    train = [f"L15-soak{i}" for i in range(4)]
+    val = [f"L15-soakval{i}" for i in range(2)]
+    if not (data / "metadata.json").exists():
+        print(f"generating {args.scene}^2-class scenes...", flush=True)
+        generate_fixture_dataset(data, seed=5,
+                                 scene_size=(args.scene, args.scene),
+                                 aois={a: True for a in train + val})
+
+    cfg = load_cfg("base")
+    cfg.PATHS.DATASET = str(data)
+    cfg.DATASET.TRAINING_IDS = train
+    cfg.DATASET.VALIDATION_IDS = val
+    cfg.DATASET.TEST_IDS = []
+    cfg.DATASET.UNLABELED_IDS = []
+    cfg.DATALOADER.TRAINING_MULTIPLIER = 100
+
+    ds = MultimodalCDDataset(cfg, "training", return_stack=True,
+                             crop_only=True)
+    loader = TrainLoader(ds, batch_size=args.batch, shuffle=True,
+                         drop_last=True, num_workers=1, seed=7)
+
+    eval_ds = MultimodalCDDataset(cfg, "validation", no_augmentations=True,
+                                  dataset_mode="first_last",
+                                  disable_multiplier=True,
+                                  disable_unlabeled=True)
+    eval_items = [eval_ds[i] for i in range(len(eval_ds))]
+
+    # Warm the scene cache fully: every (aoi, timestamp) pair must be
+    # decoded before the timed window, else first-epoch GeoTIFF decodes
+    # (seconds per 1000^2 scene) pollute the steady-state measurement.
+    t0 = time.perf_counter()
+    for i in range(min(len(ds), 64)):
+        ds[i]
+    print(f"cache warm ({time.perf_counter() - t0:.1f} s); measuring...",
+          flush=True)
+
+    alone = measure_loader(loader, args.seconds)
+    print(f"loader alone: {alone:.1f} samples/s", flush=True)
+
+    stop = threading.Event()
+    counters = {"eval_scenes": 0}
+    t = threading.Thread(target=eval_host_work_loop,
+                         args=(stop, eval_items, counters), daemon=True)
+    t.start()
+    t0 = time.perf_counter()
+    contended = measure_loader(loader, args.seconds)
+    eval_rate = counters["eval_scenes"] / (time.perf_counter() - t0)
+    stop.set()
+    t.join(timeout=10)
+    print(f"loader + continuous eval host work: {contended:.1f} samples/s "
+          f"(eval side processed {eval_rate:.2f} scenes/s)", flush=True)
+
+    result = {
+        "metric": "loader_soak_samples_per_sec",
+        "alone": round(alone, 1),
+        "with_eval_host_work": round(contended, 1),
+        "degradation_pct": round(100 * (1 - contended / alone), 1),
+        "eval_scenes_per_sec_concurrent": round(eval_rate, 2),
+        "scene_class": args.scene,
+        "chip_demand_patches_per_sec": 333.7,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
