@@ -41,6 +41,21 @@ from .train_lib import eval_forward
 
 EVAL_BUCKET = 64
 
+# Scene-batched eval group policy: scenes per forward scale inversely with
+# padded area inside a fixed memory envelope. The envelope is measured:
+# 16 x 1024^2 scenes fits a v5-lite and beats group 8 (73.5 vs 71.4
+# scenes/s); 32 x 1024^2 OOMs — which means the old FIXED group of 8 would
+# also have OOMed on 2048^2-class scenes (same bytes), so scaling DOWN for
+# large scenes is a correctness fix, not just tuning.
+EVAL_GROUP_BUDGET_PX = 16 * 1024 * 1024
+EVAL_GROUP_CAP = 16
+
+
+def eval_group_limit(shape) -> int:
+    """Max scenes per batched eval forward for a padded scene ``shape``."""
+    return max(1, min(EVAL_GROUP_CAP,
+                      EVAL_GROUP_BUDGET_PX // (shape[0] * shape[1])))
+
 
 def pad_to_bucket(arr: np.ndarray, bucket: int = EVAL_BUCKET):
     """Pad (H, W, C) up to multiples of ``bucket``; returns (padded, valid)
@@ -77,7 +92,6 @@ def run_measurer(model, state, ds, thresholds,
     tunnel round trip here). ``batch_scenes=False`` restores per-scene
     dispatch."""
     measurer = MultiThresholdMetric(thresholds)
-    max_group = 8  # bound peak activation memory for large scene sets
 
     def flush(chunk: list) -> None:
         x1 = np.stack([s[0] for s in chunk])
@@ -88,7 +102,7 @@ def run_measurer(model, state, ds, thresholds,
                                 valid_mask=valid[None])
 
     # Streaming: each shape bucket is evaluated the moment it fills, so host
-    # RSS is bounded by (buckets in flight) * max_group padded scenes — not
+    # RSS is bounded by (buckets in flight) * group_limit padded scenes — not
     # the whole split (~2 GB for the 39-AOI 1024^2 training split if it were
     # all materialized first).
     pending: dict = {}
@@ -104,7 +118,7 @@ def run_measurer(model, state, ds, thresholds,
             continue
         group = pending.setdefault(x1.shape, [])
         group.append((x1, x2, y, valid))
-        if len(group) >= max_group:
+        if len(group) >= eval_group_limit(x1.shape):
             flush(group)
             group.clear()
     for group in pending.values():

@@ -306,6 +306,10 @@ def test_run_measurer_streams_buckets(cfg, monkeypatch):
         return real_forward(*args, **kwargs)
 
     monkeypatch.setattr(evaluation, "eval_forward", recording_forward)
+    # pin group size 8 for these 64^2-padded scenes (the adaptive policy
+    # would otherwise allow thousands of tiny scenes per forward)
+    monkeypatch.setattr(evaluation, "EVAL_GROUP_BUDGET_PX", 8 * 64 * 64)
+    monkeypatch.setattr(evaluation, "EVAL_GROUP_CAP", 8)
 
     rng = np.random.default_rng(0)
     n = 20
@@ -350,6 +354,9 @@ def test_run_measurer_memory_bounded(cfg, monkeypatch):
         return np.zeros(x1.shape[:3] + (1,), np.float32)  # shape-only stub
 
     monkeypatch.setattr(evaluation, "eval_forward", stub_forward)
+    # pin group size 8 at 512^2 so the bound below stays the one this test
+    # was calibrated against (the adaptive policy would pick 16 here)
+    monkeypatch.setattr(evaluation, "EVAL_GROUP_BUDGET_PX", 8 * 512 * 512)
 
     n, s = 48, 512
 
@@ -491,3 +498,17 @@ def test_bn_group_count_validation(cfg):
     cfg.TRAINER.BATCH_SIZE = 6
     with pytest.raises(ValueError):
         train_lib.bn_group_count(cfg, mesh)
+
+
+def test_eval_group_limit_policy():
+    """Scenes per batched eval forward scale inversely with padded area
+    inside the measured 16x1024^2 memory envelope (BASELINE.md): the old
+    fixed group of 8 would OOM on 2048^2-class scenes (same bytes as the
+    measured-OOM 32x1024^2)."""
+    from multimodal_siamese_cd_tpu.evaluation import eval_group_limit
+
+    assert eval_group_limit((1024, 1024)) == 16   # measured: 73.5 scenes/s
+    assert eval_group_limit((2048, 2048)) == 4    # old fixed 8 would OOM
+    assert eval_group_limit((512, 512)) == 16     # capped by EVAL_GROUP_CAP
+    assert eval_group_limit((64, 64)) == 16
+    assert eval_group_limit((8192, 8192)) == 1    # never zero

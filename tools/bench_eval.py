@@ -25,11 +25,15 @@ from multimodal_siamese_cd_tpu.config import load_cfg
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--scene", type=int, default=1024)
-    p.add_argument("--group", type=int, default=8,
-                   help="scenes per forward (run_measurer's max_group, the "
-                        "production eval grouping)")
+    p.add_argument("--group", type=int, default=None,
+                   help="scenes per forward (default: the shipped adaptive "
+                        "policy, evaluation.eval_group_limit)")
     p.add_argument("--calls", type=int, default=8)
     args = p.parse_args()
+    if args.group is None:
+        from multimodal_siamese_cd_tpu.evaluation import eval_group_limit
+
+        args.group = eval_group_limit((args.scene, args.scene))
 
     cfg = load_cfg("base")
     cfg.MODEL.TYPE = "siameseunet"
