@@ -41,13 +41,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 # measured by tools/bench_reference.py on this host (see BASELINE.md).
 TORCH_REFERENCE_PATCHES_PER_SEC = 0.177
 
-# Headline model per regime (the configs' own pairings: siamese.yaml,
-# dtsiamese.yaml, siamese_mmcr_*.yaml).
-REGIME_MODELS = {
-    "supervised": "siameseunet",
-    "dualtask": "dtsiameseunet",
-    "semisupervised": "whatevernet",
-}
+from multimodal_siamese_cd_tpu.train_lib import REGIME_MODELS
 
 
 def build_batches(k: int, batch_size: int, crop: int, rng: np.random.Generator):
@@ -59,7 +53,8 @@ def build_batches(k: int, batch_size: int, crop: int, rng: np.random.Generator):
 
 
 def run_regime(args, regime: str, model_type: str) -> dict:
-    """Measure one regime; returns {value, total, step_ms, chips, loss}."""
+    """Measure one regime; returns {value (patches/s/chip), total,
+    step_ms, chips, loss}."""
     cfg = load_cfg("base")
     cfg.MODEL.TYPE = model_type
     cfg.TRAINER.PRECISION = args.precision
@@ -109,7 +104,9 @@ def run_regime(args, regime: str, model_type: str) -> dict:
           f"(scan {k}/call) total={patches_per_sec:.1f} patches/s "
           f"step={dt / n_steps * 1e3:.2f} ms loss={loss:.4f}",
           file=sys.stderr)
-    return {"value": round(per_chip, 2), "chips": mesh.size}
+    return {"value": round(per_chip, 2), "total": round(patches_per_sec, 2),
+            "step_ms": round(dt / n_steps * 1e3, 3), "chips": mesh.size,
+            "loss": round(loss, 5)}
 
 
 def main() -> int:
@@ -132,6 +129,11 @@ def main() -> int:
                         "this (regression guard; round-2 HEAD: supervised "
                         "328.9, dualtask 197.7, semisup 164.2)")
     args = p.parse_args()
+    if args.model and not args.regime:
+        # a forced model rarely fits all three regimes (single-head models
+        # cannot train the 3-head regimes); fail fast instead of crashing
+        # after minutes of compile
+        p.error("--model requires --regime")
 
     regimes = [args.regime] if args.regime else list(REGIME_MODELS)
     results = {}

@@ -259,15 +259,25 @@ def _decompress(data: bytes, compression: int, expected: int = 0) -> bytes:
     if compression == COMPRESSION_NONE:
         return data
     if compression in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_ADOBE):
-        if limit:
-            d = zlib.decompressobj()
-            out = d.decompress(data, limit)
-            if d.unconsumed_tail:
-                raise ValueError(
-                    f"Corrupt TIFF: deflate block inflates beyond {limit} "
-                    f"bytes (expected ~{expected})")
-            return out
-        return zlib.decompress(data)
+        try:
+            if limit:
+                d = zlib.decompressobj()
+                out = d.decompress(data, limit)
+                # unconsumed_tail: input left over after the output cap hit;
+                # not d.eof: input fully consumed but over-limit output (or a
+                # truncated stream) still pending inside the decompressor —
+                # both mean the block does not decode cleanly within bounds.
+                if d.unconsumed_tail or not d.eof:
+                    raise ValueError(
+                        f"Corrupt TIFF: deflate block inflates beyond "
+                        f"{limit} bytes or is truncated (expected "
+                        f"~{expected})")
+                return out
+            return zlib.decompress(data)
+        except zlib.error as e:
+            # zlib.error is NOT a ValueError; normalize to the module's
+            # corrupt-input contract
+            raise ValueError(f"Corrupt TIFF: deflate block: {e}") from None
     if compression == COMPRESSION_LZW:
         return _lzw_decode(data, limit)
     if compression == COMPRESSION_PACKBITS:

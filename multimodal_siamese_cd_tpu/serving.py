@@ -84,8 +84,9 @@ def export_serving_bundle(model, state, cfg, path,
     size into a self-contained serving bundle at ``path``."""
     if weights_dtype not in ("fp32", "bf16"):
         raise ValueError(f"weights_dtype must be fp32|bf16, got {weights_dtype!r}")
-    batch_sizes = sorted(set(int(b) for b in batch_sizes))
-    if not batch_sizes or batch_sizes[0] < 1:
+    # batch 1 is always exported: predict() routes through it
+    batch_sizes = sorted(set(int(b) for b in batch_sizes) | {1})
+    if batch_sizes[0] < 1:
         raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
 
     variables = jax.device_get({"params": state.params,
@@ -155,10 +156,18 @@ class ServingModel:
             self.meta = meta
             self.buckets = sorted(tuple(b) for b in meta["buckets"])
             self.batch_sizes = sorted(meta.get("batch_sizes", [1]))
-            self._fns = {
-                (b, bh, bw): jax_export.deserialize(
-                    z.read(_artifact_name(b, bh, bw)))
+            # keep serialized artifacts; deserialize lazily per (b, h, w)
+            # key on first use — a predict()-only consumer never pays for
+            # the batched artifacts
+            self._raw = {
+                (b, bh, bw): z.read(_artifact_name(b, bh, bw))
                 for bh, bw in self.buckets for b in self.batch_sizes}
+            self._fns: dict = {}
+
+    def _fn(self, key):
+        if key not in self._fns:
+            self._fns[key] = jax_export.deserialize(self._raw[key])
+        return self._fns[key]
 
     def _bucket_for(self, h, w):
         fits = [(bh * bw, bh, bw) for bh, bw in self.buckets
@@ -185,7 +194,7 @@ class ServingModel:
         bh, bw = self._bucket_for(h, w)
         pad = lambda a: np.pad(np.asarray(a, np.float32),
                                ((0, bh - h), (0, bw - w), (0, 0)))[None]
-        fn = self._fns[(1, bh, bw)]
+        fn = self._fn((1, bh, bw))
         probs = fn.call(self.leaves, pad(x_t1), pad(x_t2))
         return np.asarray(probs)[0, :h, :w, 0]
 
@@ -208,9 +217,9 @@ class ServingModel:
                                          ((0, bh - h), (0, bw - w), (0, 0)))
             for start in range(0, len(members), max_b):
                 chunk = members[start:start + max_b]
-                # smallest exported batch that holds the chunk
-                b = next(b for b in self.batch_sizes if b >= len(chunk)) \
-                    if len(chunk) <= max_b else max_b
+                # smallest exported batch that holds the chunk (a chunk is
+                # at most max_b long by construction)
+                b = next(b for b in self.batch_sizes if b >= len(chunk))
                 x1 = np.zeros((b, bh, bw, self.meta["in_channels"]), np.float32)
                 x2 = np.zeros_like(x1)
                 for j, (_, a1, a2) in enumerate(chunk):
@@ -218,7 +227,7 @@ class ServingModel:
                     x1[j] = pad(a1, h, w)
                     x2[j] = pad(a2, h, w)
                 probs = np.asarray(
-                    self._fns[(b, bh, bw)].call(self.leaves, x1, x2))
+                    self._fn((b, bh, bw)).call(self.leaves, x1, x2))
                 for j, (idx, a1, _) in enumerate(chunk):
                     h, w = a1.shape[:2]
                     results[idx] = probs[j, :h, :w, 0]

@@ -35,6 +35,17 @@ class TrainState(train_state.TrainState):
     batch_stats: Any = struct.field(default=None)
 
 
+# Each regime's headline model — the pairing the shipped configs use
+# (siamese.yaml / dtsiamese.yaml / siamese_mmcr_*.yaml). Single source for
+# bench.py, tools/profile_step.py, tools/f1_trajectory_parity.py and the
+# driver dryrun.
+REGIME_MODELS = {
+    "supervised": "siameseunet",
+    "dualtask": "dtsiameseunet",
+    "semisupervised": "whatevernet",
+}
+
+
 def make_optimizer(cfg) -> optax.GradientTransformation:
     """AdamW with the reference's hyperparameters: lr from TRAINER.LR,
     weight_decay 0.01 hardcoded, torch betas/eps defaults

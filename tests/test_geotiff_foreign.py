@@ -417,3 +417,33 @@ def test_fuzz_valid_lzw_roundtrip_all_impls():
         assert geotiff._lzw_decode_py(stream) == raw
         if geotiff._fastcodecs is not None:
             assert geotiff._fastcodecs.lzw_decode(stream) == raw
+
+
+def test_corrupt_deflate_block_raises_valueerror(tmp_path):
+    """zlib.error is NOT a ValueError: bitstream corruption in a deflate
+    block must be normalized to the module's corrupt-input contract."""
+    arr = _demo_array(16, 16, 1, dtype=np.uint8)
+    f = forge_tiff(tmp_path / "d.tif", arr, compression=8)
+    raw = bytearray(f.read_bytes())
+    raw[-10] ^= 0xFF  # flip bits inside the compressed block
+    f.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="deflate"):
+        geotiff.imread(f)
+
+
+def test_truncated_deflate_stream_raises(tmp_path):
+    """A deflate block whose stream ends mid-way (input fully consumed,
+    decompressor not at eof) must raise, not be silently accepted short."""
+    arr = _demo_array(16, 16, 1, dtype=np.uint8)
+    f = forge_tiff(tmp_path / "t.tif", arr, compression=8)
+    raw = bytearray(f.read_bytes())
+    # shorten the block byte count so the stream cuts off mid-deflate
+    n = struct.unpack_from("<H", raw, 8)[0]
+    for i in range(n):
+        tag, typ, cnt = struct.unpack_from("<HHI", raw, 10 + 12 * i)
+        if tag == 279:
+            count = struct.unpack_from("<I", raw, 10 + 12 * i + 8)[0]
+            struct.pack_into("<I", raw, 10 + 12 * i + 8, max(2, count - 6))
+    f.write_bytes(bytes(raw))
+    with pytest.raises(ValueError):
+        geotiff.imread(f)

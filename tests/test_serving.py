@@ -189,3 +189,23 @@ def test_batched_artifacts_predict_batch(tmp_path):
     for (x1, x2), got in zip(pairs, batch_out):
         assert got.shape == x1.shape[:2]
         np.testing.assert_allclose(got, served.predict(x1, x2), atol=1e-6)
+
+
+def test_batch_one_always_exported(tmp_path):
+    """predict() routes through the batch-1 artifact, so export must
+    force-include batch size 1 even when the caller asks only for larger
+    batches (review finding)."""
+    import jax
+    from multimodal_siamese_cd_tpu import serving, train_lib
+
+    cfg = _cfg()
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    path = tmp_path / "nob1.zip"
+    serving.export_serving_bundle(model, state, cfg, path,
+                                  buckets=((32, 32),), batch_sizes=(4,))
+    served = serving.load_serving_bundle(path)
+    assert served.batch_sizes == [1, 4]
+    rng = np.random.default_rng(2)
+    x1 = rng.uniform(0, 1, (32, 32, 6)).astype(np.float32)
+    x2 = rng.uniform(0, 1, (32, 32, 6)).astype(np.float32)
+    assert served.predict(x1, x2).shape == (32, 32)

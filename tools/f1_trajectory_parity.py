@@ -238,9 +238,7 @@ def main() -> int:
                              n_timestamps=4, aois=aois, with_nans=False)
 
     cfg = load_cfg("base")
-    cfg.MODEL.TYPE = {"supervised": "siameseunet",
-                      "dualtask": "dtsiameseunet",
-                      "semisupervised": "whatevernet"}[args.regime]
+    cfg.MODEL.TYPE = train_lib.REGIME_MODELS[args.regime]
     cfg.MODEL.TOPOLOGY = [int(t) for t in args.topology.split(",")]
     cfg.MODEL.IN_CHANNELS = 6
     cfg.TRAINER.PRECISION = args.precision

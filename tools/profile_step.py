@@ -23,9 +23,7 @@ ap.add_argument("--top", type=int, default=40)
 a = ap.parse_args()
 bs = a.batch
 cfg = load_cfg("base")
-cfg.MODEL.TYPE = a.model or {"supervised": "siameseunet",
-                             "dualtask": "dtsiameseunet",
-                             "semisupervised": "whatevernet"}[a.regime]
+cfg.MODEL.TYPE = a.model or train_lib.REGIME_MODELS[a.regime]
 cfg.TRAINER.BATCH_SIZE = bs
 if a.regime == "semisupervised":
     cfg.DATALOADER.INCLUDE_UNLABELED = True
