@@ -639,3 +639,66 @@ def test_siamunet_diff_forward_parity(ref_networks):
 
     np.testing.assert_allclose(np.asarray(j_out)[..., 0],
                                t_out.numpy()[:, 0], atol=2e-5, rtol=1e-4)
+
+
+def test_import_torch_checkpoint_cli(ref_networks, tmp_path, monkeypatch):
+    """End-to-end migration path: a reference-format .pt checkpoint
+    (torch-serialized {'step', 'network': DataParallel state_dict,
+    'optimizer'}, utils/networks.py:30-38) imported by
+    tools/import_torch_checkpoint.py must load through this framework's
+    checkpoints.load_checkpoint with torch-matching eval forwards."""
+    import runpy
+
+    import torch
+
+    import jax
+    from multimodal_siamese_cd_tpu import checkpoints, train_lib
+    from multimodal_siamese_cd_tpu.data.synthetic import generate_fixture_dataset
+
+    cfg = _cfg("siameseunet")
+    tnet = ref_networks.SiameseUNet(cfg)
+    _randomize(torch, tnet, seed=77)
+    tnet.eval()
+
+    # reference save format, with the DataParallel "module." prefix
+    src = tmp_path / "siamese_checkpoint7.pt"
+    torch.save({
+        "step": 123,
+        "network": {f"module.{k}": v for k, v in tnet.state_dict().items()},
+        "optimizer": {},
+    }, src)
+
+    out_dir = tmp_path / "runs"
+    out_dir.mkdir()
+    data_dir = tmp_path / "data"
+    generate_fixture_dataset(data_dir, seed=3)
+
+    argv = ["import_torch_checkpoint.py", "-c", "siamese", "-p", "proj",
+            "-o", str(out_dir), "-d", str(data_dir),
+            "--src", str(src), "--epoch", "7",
+            "MODEL.TOPOLOGY", "[16,32]", "MODEL.IN_CHANNELS", "6",
+            "TRAINER.PRECISION", "fp32", "MODEL.PACKED_FULLRES", "False"]
+    monkeypatch.setattr(sys, "argv", argv)
+    try:
+        runpy.run_path("tools/import_torch_checkpoint.py",
+                       run_name="__main__")
+    except SystemExit as e:
+        assert not e.code
+
+    load_cfg_args = cfg.clone()
+    load_cfg_args.NAME = "siamese"
+    load_cfg_args.PATHS.OUTPUT = str(out_dir)
+    model, state, step = checkpoints.load_checkpoint(7, load_cfg_args)
+    assert step == 123
+
+    rng = np.random.default_rng(5)
+    x1 = rng.uniform(0, 1, (1, 32, 32, 6)).astype(np.float32)
+    x2 = rng.uniform(0, 1, (1, 32, 32, 6)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tnet(torch.from_numpy(x1.transpose(0, 3, 1, 2)),
+                     torch.from_numpy(x2.transpose(0, 3, 1, 2)))
+    j_out = np.asarray(train_lib.eval_forward(
+        model, state.params, state.batch_stats, x1, x2))
+    np.testing.assert_allclose(j_out[..., 0],
+                               torch.sigmoid(t_out).numpy()[:, 0],
+                               atol=1e-5)
