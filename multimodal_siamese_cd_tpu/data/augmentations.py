@@ -89,24 +89,35 @@ class EnsureFloat32:
 
 
 def choose_crop_offset(label2d, height: int, width: int, crop_size: int,
-                       rng: np.random.Generator, importance: bool) -> tuple[int, int]:
+                       rng: np.random.Generator, importance: bool,
+                       window_count=None) -> tuple[int, int]:
     """Pick a crop origin: uniform, or importance-weighted by change-label
     window sums (reference augmentations.py:107-142 semantics) — the SINGLE
     implementation of the weighting scheme; the class-based transforms below
     delegate here. ``label2d`` may be any integer/float/bool 2-D array (or
     None for uniform). This is the loader's crop-first fast path: candidate
-    scoring touches only the label plane, never the imagery."""
+    scoring touches only the label plane, never the imagery.
+
+    ``window_count(y, x, s)`` — an optional callable returning the positive-
+    pixel count of the window at ``(y, x)`` — replaces ``label2d`` so callers
+    can score candidates without materializing a full-scene label plane
+    (dataset._get_cropped computes ``b2 > b1`` per window; O(crop²) per
+    sample instead of O(scene²)). Draw order and weights are identical
+    either way."""
     limit_y = max(1, height - crop_size)
     limit_x = max(1, width - crop_size)
-    if not importance or label2d is None:
+    if not importance or (label2d is None and window_count is None):
         return int(rng.integers(0, limit_y)), int(rng.integers(0, limit_x))
     ys = rng.integers(0, limit_y, size=IMPORTANCE_SAMPLE_SIZE)
     xs = rng.integers(0, limit_x, size=IMPORTANCE_SAMPLE_SIZE)
     s = min(crop_size, height, width)
-    # Direct window counts beat an integral image for 20 candidates: 20
-    # SIMD count_nonzero passes over 256² bools ≈ 1.3 MB touched, vs two
-    # full-scene cumsum passes (the profiled hot spot).
-    sums = np.array([np.count_nonzero(label2d[y:y + s, x:x + s])
+    if window_count is None:
+        # Direct window counts beat an integral image for 20 candidates: 20
+        # SIMD count_nonzero passes over 256² bools ≈ 1.3 MB touched, vs two
+        # full-scene cumsum passes (the profiled hot spot).
+        def window_count(y, x, s):
+            return np.count_nonzero(label2d[y:y + s, x:x + s])
+    sums = np.array([window_count(y, x, s)
                      for y, x in zip(ys, xs)], np.float64)
     weights = sums + IMPORTANCE_BALANCING
     weights /= weights.sum()

@@ -24,12 +24,15 @@ import numpy as np
 _STACK_KEYS = ("x_t1", "x_t2", "y_change", "y_sem_t1", "y_sem_t2", "stack")
 
 
-def collate(items: list[dict]) -> dict:
+def collate(items: list[dict], skip: tuple = ()) -> dict:
     """Stack a list of sample dicts into one batch dict. Array-valued keys
     are stacked on a new leading axis; ``is_labeled`` becomes a float32
-    mask vector; scalar metadata becomes lists/arrays."""
+    mask vector; scalar metadata becomes lists/arrays. Keys in ``skip`` are
+    omitted (used when the batch array was assembled in place)."""
     batch: dict = {}
     for key in items[0]:
+        if key in skip:
+            continue
         vals = [it[key] for it in items]
         if key in _STACK_KEYS:
             # keep f16/f32 as produced (f16 is the training wire format —
@@ -95,10 +98,7 @@ class TrainLoader:
                 for i in range(0, limit, self.batch_size)]
 
     def _build_batch(self, epoch: int, batch_idx: int, indices: np.ndarray) -> dict:
-        ss = np.random.SeedSequence([self.seed, epoch, batch_idx])
-        rngs = [np.random.default_rng(c) for c in ss.spawn(len(indices))]
-        return collate([self.dataset.get(int(i), rng)
-                        for i, rng in zip(indices, rngs)])
+        return _assemble_batch(self.dataset, self.seed, epoch, batch_idx, indices)
 
     def _pool(self):
         if self.worker_type == "thread":
@@ -179,6 +179,31 @@ def group_batches(iterator: Iterable[dict], k: int) -> Iterator[dict]:
         yield out
 
 
+def _assemble_batch(dataset, seed: int, epoch: int, batch_idx: int,
+                    indices) -> dict:
+    """Build one collated batch (deterministic per (seed, epoch, batch)).
+
+    When the dataset advertises a fixed stack layout (``stack_spec()``),
+    samples are assembled straight into one preallocated ``(B, S, S, C)``
+    buffer via ``get(..., out=row)`` — no per-sample stack allocation and no
+    ``np.stack`` copy in collate (measured ~15% of the per-sample budget on
+    the 1-core host)."""
+    ss = np.random.SeedSequence([seed, epoch, batch_idx])
+    rngs = [np.random.default_rng(c) for c in ss.spawn(len(indices))]
+    spec = getattr(dataset, "stack_spec", None)
+    spec = spec() if callable(spec) else None
+    if spec is None:
+        return collate([dataset.get(int(i), rng)
+                        for i, rng in zip(indices, rngs)])
+    shape, dtype = spec
+    stack = np.empty((len(indices),) + tuple(shape), dtype)
+    items = [dataset.get(int(i), rng, out=stack[k])
+             for k, (i, rng) in enumerate(zip(indices, rngs))]
+    batch = collate(items, skip=("stack",))
+    batch["stack"] = stack
+    return batch
+
+
 # --- process-pool worker plumbing (module-level for picklability) -----------
 
 _WORKER_STATE: dict = {}
@@ -190,10 +215,8 @@ def _init_proc_worker(dataset, seed) -> None:
 
 
 def _build_batch_in_worker(epoch: int, batch_idx: int, indices) -> dict:
-    ds = _WORKER_STATE["dataset"]
-    ss = np.random.SeedSequence([_WORKER_STATE["seed"], epoch, batch_idx])
-    rngs = [np.random.default_rng(c) for c in ss.spawn(len(indices))]
-    return collate([ds.get(int(i), rng) for i, rng in zip(indices, rngs)])
+    return _assemble_batch(_WORKER_STATE["dataset"], _WORKER_STATE["seed"],
+                           epoch, batch_idx, indices)
 
 
 def prefetch_to_device(iterator: Iterable[dict], size: int = 2,

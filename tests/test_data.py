@@ -374,6 +374,65 @@ def test_prefetch_to_device_propagates_errors():
         list(stream)
 
 
+def test_window_count_offset_matches_label_plane():
+    """choose_crop_offset with a window_count callable (the loader's
+    O(crop²) no-materialized-plane path) must pick the same offset as the
+    label2d path for identical generators — same draw order, same weights."""
+    rng_label = np.random.default_rng(3)
+    b1 = (rng_label.uniform(size=(50, 60, 1)) > 0.8).astype(np.float16)
+    b2 = np.maximum(b1, (rng_label.uniform(size=(50, 60, 1)) > 0.8)).astype(np.float16)
+    plane = (b2 > b1)[..., 0]
+    for trial in range(10):
+        via_plane = aug.choose_crop_offset(
+            plane, 50, 60, 16, np.random.default_rng(trial), importance=True)
+        via_window = aug.choose_crop_offset(
+            None, 50, 60, 16, np.random.default_rng(trial), importance=True,
+            window_count=lambda y, x, s: np.count_nonzero(
+                b2[y:y + s, x:x + s] > b1[y:y + s, x:x + s]))
+        assert via_plane == via_window
+
+
+def test_inplace_batch_assembly_matches_collate(cfg):
+    """The stack_spec()/out= fast path (samples assembled straight into one
+    preallocated batch buffer) must produce bit-identical batches to the
+    per-sample-dict collate path, including label-slot zeroing for
+    unlabeled samples over the np.empty-backed buffer."""
+    from multimodal_siamese_cd_tpu.data.loader import _assemble_batch
+
+    cfg.DATALOADER.TRAINING_MULTIPLIER = 4
+    cfg.DATALOADER.INCLUDE_UNLABELED = True
+    ds = MultimodalCDDataset(cfg, "training", return_stack=True,
+                             crop_only=True)
+    spec = ds.stack_spec()
+    assert spec is not None
+
+    class _NoSpec:  # same dataset, spec hidden -> forces the collate path
+        def __init__(self, d):
+            self.d = d
+
+        def get(self, i, rng):
+            return self.d.get(i, rng)
+
+    labeled_flags = np.asarray(ds.labeled, bool)
+    idx = np.concatenate([np.flatnonzero(labeled_flags)[:3],
+                          np.flatnonzero(~labeled_flags)[:3]])
+    fast = _assemble_batch(ds, 11, 0, 2, idx)
+    slow = _assemble_batch(_NoSpec(ds), 11, 0, 2, idx)
+    assert fast["stack"].dtype == slow["stack"].dtype
+    np.testing.assert_array_equal(fast["stack"], slow["stack"])
+    np.testing.assert_array_equal(fast["is_labeled"], slow["is_labeled"])
+    # unlabeled rows must have all-zero label channels despite np.empty
+    (s, _, c), _ = spec
+    n_img = c - 3
+    unlab = fast["is_labeled"] == 0.0
+    if unlab.any():
+        assert np.all(fast["stack"][unlab][..., n_img:] == 0.0)
+    # eval-style datasets advertise no spec (no fixed crop layout)
+    ev = MultimodalCDDataset(cfg, "validation", no_augmentations=True,
+                             dataset_mode="first_last")
+    assert ev.stack_spec() is None
+
+
 def test_threaded_loader_releases_consumed_batches(cfg):
     """The epoch iterator must drop each completed Future immediately: a
     Future retains its result, so keeping the per-epoch futures list intact

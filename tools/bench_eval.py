@@ -29,6 +29,9 @@ def main() -> int:
                    help="scenes per forward (default: the shipped adaptive "
                         "policy, evaluation.eval_group_limit)")
     p.add_argument("--calls", type=int, default=8)
+    p.add_argument("--sol", action="store_true",
+                   help="also print XLA cost-analysis FLOPs and the "
+                        "effective TFLOP/s at the measured rate")
     args = p.parse_args()
     if args.group is None:
         from multimodal_siamese_cd_tpu.evaluation import eval_group_limit
@@ -62,6 +65,21 @@ def main() -> int:
     print(f"eval {args.scene}^2 scenes: {sc_s:.2f} scenes/s/chip "
           f"({dt / n * 1e3:.1f} ms/scene, {patch_eq:.0f} patch-equiv/s, "
           f"group={args.group})")
+
+    if args.sol:
+        # Speed-of-light accounting (same methodology as the train-step
+        # budgets in BASELINE.md): XLA's analytical FLOP count for the
+        # compiled eval forward divided by the measured wall time.
+        lowered = jax.jit(train_lib.eval_forward, static_argnames=("model",)
+                          ).lower(model, state.params, state.batch_stats,
+                                  x1d, x2d)
+        cost = lowered.compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0))
+        eff = flops * args.calls / dt / 1e12
+        print(f"cost_analysis: {flops / 1e12:.3f} TFLOP/group "
+              f"({flops / args.group / 1e9:.1f} GFLOP/scene) -> "
+              f"{eff:.1f} effective TFLOP/s at the measured rate")
     return 0
 
 
