@@ -45,9 +45,10 @@ from multimodal_siamese_cd_tpu.train_lib import REGIME_MODELS
 
 
 def build_batches(k: int, batch_size: int, crop: int, rng: np.random.Generator):
-    # stack layout: 12 imagery channels (2x2 S1 + 2x4 S2) + 2 buildings + 1 change
-    stacks = rng.uniform(0, 1, size=(k, batch_size, crop, crop, 15)).astype(np.float32)
-    stacks[..., 12:] = (stacks[..., 12:] > 0.8).astype(np.float32)
+    # planar wire stacks (K, B, C, S, S): 12 imagery channels
+    # (2x2 S1 + 2x4 S2) + 2 buildings + 1 change
+    stacks = rng.uniform(0, 1, size=(k, batch_size, 15, crop, crop)).astype(np.float32)
+    stacks[..., 12:, :, :] = (stacks[..., 12:, :, :] > 0.8).astype(np.float32)
     is_labeled = np.ones((k, batch_size), np.float32)
     return stacks, is_labeled
 

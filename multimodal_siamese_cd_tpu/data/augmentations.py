@@ -238,7 +238,8 @@ def device_augment_batch(stack, rng, *, flip: bool, rotate: bool,
                          color_shift: bool, gamma: bool, n_img_channels: int):
     """Jitted per-sample geometric + photometric augmentation.
 
-    ``stack``: (B, S, S, C_total) — square crops; imagery channels first
+    ``stack``: (B, S, S, C_total), i.e. AFTER train_lib.wire_to_nhwc — square
+    crops; imagery channels first
     (``n_img_channels`` of them), label channels after. Geometric ops apply
     to all channels jointly (labels transform with the imagery, matching the
     reference's joint-stack augmentation, datasets.py:149-150); photometric

@@ -3,9 +3,18 @@
 The reference decodes GeoTIFFs with rasterio on every ``__getitem__`` and —
 with ``TRAINING_MULTIPLIER`` 100 — re-decodes each file ~100x per epoch
 (reference datasets.py:100,128-134). Here every (AOI, modality) time series
-is decoded **once** into a packed ``(T, H, W, C)`` array on disk, memmapped
+is decoded **once** into a packed ``(T, C, H, W)`` array on disk, memmapped
 thereafter; steady-state training reads crops straight out of the page
 cache with zero decode work.
+
+The on-disk layout is channel-PLANAR: the training hot path assembles
+crops into a planar ``(C, S, S)`` wire stack, and copying a planar window
+into a planar destination is a contiguous-run memcpy per channel — 16x
+faster than the channel-interleaved (H, W, C) window copy it replaced
+(1.70 -> 0.10 ms per sample at 256² crops; the dst stride-13 scatter was
+the cost). The public ``load``/``load_window`` accessors still return
+(H, W, C) float32 for the eval/assessment paths (per-channel fill from
+planar measures slightly FASTER than the old contiguous convert).
 
 Band subsetting, ``clip(0, 1)`` and ``nan_to_num`` (reference
 datasets.py:30-46) are applied at cache-build time so the hot path is a pure
@@ -25,7 +34,7 @@ import numpy as np
 
 from .. import geofiles
 
-_CACHE_VERSION = 1
+_CACHE_VERSION = 2  # v2: channel-planar (T, C, H, W) storage
 _locks: dict = {}
 _locks_guard = threading.Lock()
 
@@ -81,11 +90,16 @@ class SceneCache:
     def _build(self, aoi_id: str, modality: str, npy: Path, meta_file: Path) -> None:
         ts = self._timestamps(aoi_id, modality)
         dtype = np.uint8 if modality == "buildings" else self.dtype
-        first = self._decode(aoi_id, modality, *ts[0])
+
+        def planar(img: np.ndarray) -> np.ndarray:
+            # decode yields (H, W, C) or (H, W); store (C, H, W)
+            return img.transpose(2, 0, 1) if img.ndim == 3 else img[None]
+
+        first = planar(self._decode(aoi_id, modality, *ts[0]))
         arr = np.empty((len(ts),) + first.shape, dtype=dtype)
         arr[0] = first
         for i, (y, m) in enumerate(ts[1:], start=1):
-            arr[i] = self._decode(aoi_id, modality, y, m)
+            arr[i] = planar(self._decode(aoi_id, modality, y, m))
         # Unique tmp names + atomic os.replace: concurrent builders (process
         # workers, parallel jobs sharing a dataset dir) each write their own
         # complete file and the last replace wins — builds are deterministic,
@@ -127,29 +141,50 @@ class SceneCache:
         if not self.enabled:
             img = self._decode(aoi_id, modality, year, month)
             return img if img.ndim == 3 else img[:, :, None]
-        arr, index = self._load_packed(aoi_id, modality)
-        scene = np.asarray(arr[index[(year, month)]], dtype=np.float32)
-        return scene if scene.ndim == 3 else scene[:, :, None]
+        planar = self.load_raw_planar(aoi_id, modality, year, month)
+        c, h, w = planar.shape
+        out = np.empty((h, w, c), np.float32)
+        for i in range(c):  # per-channel fill beats ascontiguous(transpose)
+            out[..., i] = planar[i]
+        return out
 
     def load_raw(self, aoi_id: str, modality: str, year: int, month: int) -> np.ndarray:
-        """Memmap-backed scene in its storage dtype (no conversion) — the
-        hot-path accessor: callers slice a window first and convert only the
-        crop (full-scene float32 materialization was the loader bottleneck)."""
+        """Scene in its storage dtype as a zero-copy (H, W, C) STRIDED view
+        of the planar storage. Prefer :meth:`load_raw_planar` in hot paths —
+        dense ops over this view pay the channel-interleave stride."""
+        return self.load_raw_planar(aoi_id, modality, year, month
+                                    ).transpose(1, 2, 0)
+
+    def load_raw_planar(self, aoi_id: str, modality: str,
+                        year: int, month: int) -> np.ndarray:
+        """Memmap-backed planar (C, H, W) scene in its storage dtype (no
+        conversion, no copy) — THE hot-path accessor: callers slice crop
+        windows (contiguous runs per channel) and convert only those.
+        Returned as a base ndarray view: np.memmap's ``__array_finalize__``
+        / ``__array_wrap__`` subclass plumbing costs ~0.75 ms/sample across
+        the ~50 slices the crop path takes (measured in cProfile) and buys
+        nothing here."""
         if not self.enabled:
             img = self._decode(aoi_id, modality, year, month)
-            return img if img.ndim == 3 else img[:, :, None]
+            return np.ascontiguousarray(
+                img.transpose(2, 0, 1) if img.ndim == 3 else img[None])
         arr, index = self._load_packed(aoi_id, modality)
-        scene = arr[index[(year, month)]]
-        return scene if scene.ndim == 3 else scene[..., None]
+        return arr[index[(year, month)]].view(np.ndarray)
 
     def load_window(self, aoi_id: str, modality: str, year: int, month: int,
                     y0: int, x0: int, size: int) -> np.ndarray:
         """float32 crop (size, size, C) — converts only the window."""
-        raw = self.load_raw(aoi_id, modality, year, month)
-        return np.asarray(raw[y0:y0 + size, x0:x0 + size], dtype=np.float32)
+        planar = self.load_raw_planar(aoi_id, modality, year, month)
+        win = planar[:, y0:y0 + size, x0:x0 + size]
+        out = np.empty(win.shape[1:] + (win.shape[0],), np.float32)
+        for i in range(win.shape[0]):
+            out[..., i] = win[i]
+        return out
 
     def scene_shape(self, aoi_id: str, modality: str, year: int, month: int) -> tuple:
-        return self.load_raw(aoi_id, modality, year, month).shape
+        """(H, W, C) — the layout-independent logical shape."""
+        c, h, w = self.load_raw_planar(aoi_id, modality, year, month).shape
+        return (h, w, c)
 
     # Open memmaps are not picklable; drop them so datasets can cross
     # process boundaries (process-pool loader workers re-open lazily).

@@ -114,9 +114,9 @@ class MultimodalCDDataset:
         deterministic regardless of scheduling.
 
         ``out`` (only honored when :meth:`stack_spec` is non-None): a
-        preallocated ``(S, S, C)`` array the crop stack is assembled into in
-        place — the loader passes rows of one batch buffer, skipping the
-        per-sample allocation and the collate copy."""
+        preallocated planar ``(C, S, S)`` array the crop stack is assembled
+        into in place — the loader passes rows of one batch buffer, skipping
+        the per-sample allocation and the collate copy."""
         if rng is None:
             rng, transform = self.rng, self.transform
         else:
@@ -161,11 +161,12 @@ class MultimodalCDDataset:
         imgs, buildings, change = transform((imgs, buildings, change))
 
         if self.return_stack:
-            # Joint (S, S, 8+2+1) stack for the device-side augmentation graph;
-            # the jitted train step splits it by static channel counts.
+            # Joint planar (8+2+1, S, S) stack for the device-side
+            # augmentation graph; the jitted train step transposes to NHWC
+            # and splits it by static channel counts.
             return {
-                'stack': np.ascontiguousarray(
-                    np.concatenate((imgs, buildings, change), axis=-1)),
+                'stack': np.ascontiguousarray(np.concatenate(
+                    (imgs, buildings, change), axis=-1).transpose(2, 0, 1)),
                 'aoi_id': aoi_id,
                 'year_t1': year_t1, 'month_t1': month_t1,
                 'year_t2': year_t2, 'month_t2': month_t2,
@@ -217,16 +218,18 @@ class MultimodalCDDataset:
             out = None  # in-place assembly exists only for the stack fast path
 
         if labeled:
-            # (H, W, 1) storage-dtype memmap views. The construction-only
+            # (H, W) storage-dtype (uint8) planes. The construction-only
             # change plane (t1==0 ∧ t2==1 over {0,1} rasters) is exactly
             # b2 > b1, but it is only ever consumed inside crop-sized
             # windows — the 20 importance candidates and the chosen crop —
             # so it is computed per window: O(crop²) per sample instead of
             # the O(scene²) full-scene compare (which was ~40% of the
             # per-sample budget at 1000² scenes).
-            b1 = self.cache.load_raw(aoi_id, 'buildings', year_t1, month_t1)
-            b2 = self.cache.load_raw(aoi_id, 'buildings', year_t2, month_t2)
-            h, w = b1.shape[:2]
+            b1 = self.cache.load_raw_planar(aoi_id, 'buildings',
+                                            year_t1, month_t1)[0]
+            b2 = self.cache.load_raw_planar(aoi_id, 'buildings',
+                                            year_t2, month_t2)[0]
+            h, w = b1.shape
 
             def change_window_count(y, x, s):
                 return np.count_nonzero(b2[y:y + s, x:x + s] > b1[y:y + s, x:x + s])
@@ -247,43 +250,45 @@ class MultimodalCDDataset:
         n_s2 = len(self.s2_band_indices)
         n_img = 2 * n_s1 + 2 * n_s2
 
-        def raw_win(modality, year, month):
-            return self.cache.load_raw(aoi_id, modality, year, month)[
-                y0:y0 + s, x0:x0 + s]
+        def planar_win(modality, year, month):
+            return self.cache.load_raw_planar(aoi_id, modality, year, month)[
+                :, y0:y0 + s, x0:x0 + s]
 
-        # Assemble the joint stack straight into one buffer — each slot
-        # assignment converts the windowed storage-dtype view in place (no
-        # intermediate arrays or concats). float16 wire format when the
-        # scene cache is float16 (then it's lossless — labels are exact in
-        # f16 too) while halving host->device bytes; full-precision caches
-        # (CACHE_DTYPE float32 / SCENE_CACHE False) keep an f32 wire so the
-        # precision knob stays meaningful. Steps upcast on device.
+        # Assemble the joint PLANAR (C, S, S) stack straight into one buffer
+        # — each slot assignment is a contiguous-run copy per channel
+        # (planar src -> planar dst; the old channel-interleaved layout's
+        # stride-13 dst scatter cost 16x more — see cache.py). float16 wire
+        # format when the scene cache is float16 (then it's lossless —
+        # labels are exact in f16 too) while halving host->device bytes;
+        # full-precision caches (CACHE_DTYPE float32 / SCENE_CACHE False)
+        # keep an f32 wire so the precision knob stays meaningful. Steps
+        # transpose to NHWC + upcast on device (train_lib.wire_to_nhwc).
         f16_wire = self.cache.enabled and np.dtype(self.cache.dtype) == np.float16
         if out is not None:
             stack = out  # one row of the loader's preallocated batch buffer
-            # np.empty-backed: label slots not written below must be zeroed.
-            # A full contiguous fill is 4x cheaper than a strided
-            # channel-slice zero (memset vs scattered RMW; measured 0.06 vs
-            # 0.27 ms), and the imagery slots get overwritten right after.
+            # np.empty-backed: label planes not written below must be zeroed
+            # (planar layout: zeroing whole planes is contiguous and cheap,
+            # and the imagery planes get overwritten right after).
             if not (labeled and self.include_building_labels):
-                stack.fill(0)
+                stack[n_img:].fill(0)
         else:
-            stack = np.zeros((s, s, n_img + 3),
+            stack = np.zeros((n_img + 3, s, s),
                              np.float16 if f16_wire else np.float32)
-        stack[..., :n_s1] = raw_win('s1', year_t1, month_t1)
-        stack[..., n_s1:2 * n_s1] = raw_win('s1', year_t2, month_t2)
-        stack[..., 2 * n_s1:2 * n_s1 + n_s2] = raw_win('s2', year_t1, month_t1)
-        stack[..., 2 * n_s1 + n_s2:n_img] = raw_win('s2', year_t2, month_t2)
+        stack[:n_s1] = planar_win('s1', year_t1, month_t1)
+        stack[n_s1:2 * n_s1] = planar_win('s1', year_t2, month_t2)
+        stack[2 * n_s1:2 * n_s1 + n_s2] = planar_win('s2', year_t1, month_t1)
+        stack[2 * n_s1 + n_s2:n_img] = planar_win('s2', year_t2, month_t2)
         if labeled:
             b1_win = b1[y0:y0 + s, x0:x0 + s]
             b2_win = b2[y0:y0 + s, x0:x0 + s]
             if self.include_building_labels:
-                stack[..., n_img:n_img + 1] = b1_win
-                stack[..., n_img + 1:n_img + 2] = b2_win
-            stack[..., n_img + 2] = (b2_win > b1_win)[..., 0]
+                stack[n_img] = b1_win
+                stack[n_img + 1] = b2_win
+            stack[n_img + 2] = b2_win > b1_win
 
         # Remaining (post-crop) transforms: identity for crop_only; host
-        # flips/rot/photometric otherwise (cheap on 256² crops, f32).
+        # flips/rot/photometric otherwise (cheap on 256² crops, f32; the
+        # host transform classes are (H, W, C) — transpose around them).
         if not self.crop_only:
             if transform is None:
                 transform = augmentations.compose_transformations(
@@ -291,10 +296,12 @@ class MultimodalCDDataset:
             post = augmentations.Compose(
                 [t for t in transform.transforms
                  if not isinstance(t, augmentations.UniformCrop)])
+            hwc = stack.transpose(1, 2, 0)
             imgs, buildings, change = post(
-                (stack[..., :n_img], stack[..., n_img:n_img + 2],
-                 stack[..., n_img + 2:]))
-            stack = np.concatenate((imgs, buildings, change), axis=-1)
+                (hwc[..., :n_img], hwc[..., n_img:n_img + 2],
+                 hwc[..., n_img + 2:]))
+            stack = np.ascontiguousarray(np.concatenate(
+                (imgs, buildings, change), axis=-1).transpose(2, 0, 1))
 
         if self.return_stack:
             return {
@@ -305,7 +312,8 @@ class MultimodalCDDataset:
                 'year_t2': year_t2, 'month_t2': month_t2,
                 'is_labeled': labeled,
             }
-        stack = stack.astype(np.float32, copy=False)  # item API stays f32
+        # item API stays (H, W, C) float32
+        stack = stack.astype(np.float32, copy=False).transpose(1, 2, 0)
         imgs = stack[..., :n_img]
         buildings = stack[..., n_img:n_img + 2]
         change = stack[..., n_img + 2:]
@@ -326,7 +334,7 @@ class MultimodalCDDataset:
         return item
 
     def stack_spec(self):
-        """``((S, S, C), dtype)`` of the training ``'stack'`` item when the
+        """``((C, S, S), dtype)`` of the training ``'stack'`` item when the
         crop-first fast path is active, else None. Non-None tells the loader
         it may preallocate ONE batch buffer and call ``get(i, rng,
         out=buffer[k])`` to assemble each sample in place — eliminating the
@@ -336,7 +344,7 @@ class MultimodalCDDataset:
         s = self.cfg.AUGMENTATION.CROP_SIZE
         n_img = 2 * len(self.s1_band_indices) + 2 * len(self.s2_band_indices)
         f16 = self.cache.enabled and np.dtype(self.cache.dtype) == np.float16
-        return (s, s, n_img + 3), (np.float16 if f16 else np.float32)
+        return (n_img + 3, s, s), (np.float16 if f16 else np.float32)
 
     def get_aoi_ids(self) -> list:
         return list(set(self.aoi_ids))

@@ -184,7 +184,7 @@ def _assemble_batch(dataset, seed: int, epoch: int, batch_idx: int,
     """Build one collated batch (deterministic per (seed, epoch, batch)).
 
     When the dataset advertises a fixed stack layout (``stack_spec()``),
-    samples are assembled straight into one preallocated ``(B, S, S, C)``
+    samples are assembled straight into one preallocated ``(B, C, S, S)``
     buffer via ``get(..., out=row)`` — no per-sample stack allocation and no
     ``np.stack`` copy in collate (measured ~15% of the per-sample budget on
     the 1-core host)."""

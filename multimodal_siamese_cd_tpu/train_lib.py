@@ -21,6 +21,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 from flax.training import train_state
@@ -73,8 +74,15 @@ def create_train_state(cfg, rng: jax.Array):
 # --------------------------------------------------------------------------
 
 def stack_layout(cfg) -> dict:
-    """Static channel offsets of the joint (B, S, S, C) training stack:
+    """Static channel offsets of the joint training stack:
     [s1_t1 | s1_t2 | s2_t1 | s2_t2 | buildings_t1 | buildings_t2 | change].
+
+    WIRE format (what the loader ships and the step functions take) is
+    channel-PLANAR ``(B, C, S, S)`` (scanned: ``(K, B, C, S, S)``) — planar
+    crop assembly is 16x cheaper on the 1-core host (see data/cache.py).
+    The step transposes to NHWC on device (:func:`wire_to_nhwc`, one
+    layout op XLA folds into the augmentation graph); everything from
+    :func:`split_stack` on is channels-last.
     """
     n_s1 = len(cfg.DATALOADER.S1_BANDS)
     n_s2 = len(cfg.DATALOADER.S2_BANDS)
@@ -86,8 +94,21 @@ def stack_layout(cfg) -> dict:
     }
 
 
+def wire_to_nhwc(stack: jnp.ndarray) -> jnp.ndarray:
+    """Planar wire stack ``(..., C, S, S)`` -> channels-last
+    ``(..., S, S, C)`` (device-side; works for batched and scanned wires)."""
+    return jnp.moveaxis(stack, -3, -1)
+
+
+def nhwc_to_wire(stack: np.ndarray) -> np.ndarray:
+    """Host-side inverse of :func:`wire_to_nhwc` for tests/tools that build
+    channels-last stacks and need the planar wire layout."""
+    return np.ascontiguousarray(np.moveaxis(stack, -1, -3))
+
+
 def split_stack(stack: jnp.ndarray, layout: dict):
-    """Split the joint stack into model inputs and labels (static slices)."""
+    """Split the joint NHWC stack (post :func:`wire_to_nhwc`) into model
+    inputs and labels (static slices)."""
     n_s1, n_s2, n_img = layout["n_s1"], layout["n_s2"], layout["n_img"]
     s1_t1 = stack[..., :n_s1]
     s1_t2 = stack[..., n_s1:2 * n_s1]
@@ -119,7 +140,7 @@ def _augment(stack, rng, cfg, layout):
     # f32 in split_stack before any loss reduction.
     from .models.factory import compute_dtype
 
-    stack = stack.astype(compute_dtype(cfg))
+    stack = wire_to_nhwc(stack).astype(compute_dtype(cfg))
     return device_augment_batch(
         stack, rng,
         flip=bool(a.RANDOM_FLIP), rotate=bool(a.RANDOM_ROTATE),
@@ -347,7 +368,7 @@ def make_scanned_train_step(model, cfg, regime: str, mesh=None,
     """K optimizer steps fused into ONE jitted dispatch via ``lax.scan``.
 
     Takes ``(state, stacks, is_labeled, rng)`` where ``stacks`` is
-    (K, B, S, S, C) — K independent batches — and ``is_labeled`` is (K, B);
+    (K, B, C, S, S) — K independent batches — and ``is_labeled`` is (K, B);
     runs K full steps (each with its own augmentation randomness, since the
     per-step fold_in uses the incrementing ``state.step``) and returns
     ``(state, metrics)`` with metrics averaged over the window.

@@ -190,8 +190,8 @@ def test_loader_determinism_and_shapes(cfg):
     b1 = next(iter(loader1))
     b2 = next(iter(loader2))
     s = cfg.AUGMENTATION.CROP_SIZE
-    # 12 imagery (2x2 S1 + 2x4 S2) + 2 buildings + 1 change
-    assert b1["stack"].shape == (2, s, s, 15)
+    # planar wire: 12 imagery (2x2 S1 + 2x4 S2) + 2 buildings + 1 change
+    assert b1["stack"].shape == (2, 15, s, s)
     assert b1["is_labeled"].shape == (2,)
     # threaded and synchronous loaders produce identical batches
     np.testing.assert_array_equal(b1["stack"], b2["stack"])
@@ -421,12 +421,12 @@ def test_inplace_batch_assembly_matches_collate(cfg):
     assert fast["stack"].dtype == slow["stack"].dtype
     np.testing.assert_array_equal(fast["stack"], slow["stack"])
     np.testing.assert_array_equal(fast["is_labeled"], slow["is_labeled"])
-    # unlabeled rows must have all-zero label channels despite np.empty
-    (s, _, c), _ = spec
+    # unlabeled rows must have all-zero label planes despite np.empty
+    (c, s, _), _ = spec
     n_img = c - 3
     unlab = fast["is_labeled"] == 0.0
     if unlab.any():
-        assert np.all(fast["stack"][unlab][..., n_img:] == 0.0)
+        assert np.all(fast["stack"][unlab][:, n_img:] == 0.0)
     # eval-style datasets advertise no spec (no fixed crop layout)
     ev = MultimodalCDDataset(cfg, "validation", no_augmentations=True,
                              dataset_mode="first_last")

@@ -62,8 +62,8 @@ model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
 step = train_lib.make_supervised_train_step(model, cfg, mesh=mesh)
 
 host = np.random.default_rng(0)
-stack = host.uniform(0, 1, (8, 32, 32, 15)).astype(np.float32)
-stack[..., 12:] = (stack[..., 12:] > 0.8).astype(np.float32)
+stack = host.uniform(0, 1, (8, 15, 32, 32)).astype(np.float32)
+stack[:, 12:] = (stack[:, 12:] > 0.8).astype(np.float32)
 lab = np.ones((8,), np.float32)
 
 bsh = NamedSharding(mesh, P("data"))
@@ -137,8 +137,8 @@ def test_two_process_step_matches_single_process(tmp_path):
     model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
     step = train_lib.make_supervised_train_step(model, cfg, mesh=mesh)
     host = np.random.default_rng(0)
-    stack = host.uniform(0, 1, (8, 32, 32, 15)).astype(np.float32)
-    stack[..., 12:] = (stack[..., 12:] > 0.8).astype(np.float32)
+    stack = host.uniform(0, 1, (8, 15, 32, 32)).astype(np.float32)
+    stack[:, 12:] = (stack[:, 12:] > 0.8).astype(np.float32)
     gstack = jax.device_put(stack, NamedSharding(mesh, P("data")))
     glab = jax.device_put(np.ones((8,), np.float32),
                           NamedSharding(mesh, P("data")))

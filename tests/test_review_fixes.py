@@ -179,8 +179,8 @@ def test_dropout_resamples_each_step():
     step = train_lib.make_supervised_train_step(model, cfg, mesh=None,
                                                 jit=False)
     host = np.random.default_rng(0)
-    stack = np.asarray(host.uniform(0, 1, (2, 32, 32, 15)), np.float32)
-    stack[..., 12:] = (stack[..., 12:] > 0.8).astype(np.float32)
+    stack = np.asarray(host.uniform(0, 1, (2, 15, 32, 32)), np.float32)
+    stack[:, 12:] = (stack[:, 12:] > 0.8).astype(np.float32)
     lab = np.ones((2,), np.float32)
     rng = jax.random.PRNGKey(cfg.SEED)
 

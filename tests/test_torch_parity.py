@@ -254,7 +254,8 @@ def _capture_step_grads(model, cfg, variables, regime, stack, is_labeled):
         apply_fn=model.apply, params=variables["params"],
         batch_stats=variables.get("batch_stats", {}), tx=tx)
     step = train_lib.make_train_step(model, cfg, regime, mesh=None, jit=False)
-    _, metrics = step(state, stack, is_labeled, jax.random.PRNGKey(0))
+    _, metrics = step(state, train_lib.nhwc_to_wire(stack), is_labeled,
+                      jax.random.PRNGKey(0))
     return metrics, captured["grads"]
 
 
@@ -485,7 +486,7 @@ def test_supervised_training_trajectory_parity(ref_networks, ref_losses):
         opt.step()
         t_losses.append(float(t_loss))
 
-        state, metrics = step(state, stack, ones, rng)
+        state, metrics = step(state, train_lib.nhwc_to_wire(stack), ones, rng)
         j_losses.append(float(metrics["loss"]))
 
     np.testing.assert_allclose(j_losses, t_losses, atol=5e-5, rtol=1e-4)

@@ -125,7 +125,8 @@ def test_mesh_step_matches_single_device(cfg):
     from multimodal_siamese_cd_tpu.parallel import replicated_sharding
 
     layout = train_lib.stack_layout(cfg)
-    x_t1, x_t2, y_change, _, _ = train_lib.split_stack(batch["stack"], layout)
+    x_t1, x_t2, y_change, _, _ = train_lib.split_stack(
+        train_lib.wire_to_nhwc(batch["stack"]), layout)
     _, state0 = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
     criterion = losses.get_criterion(cfg.MODEL.LOSS_TYPE)
 
@@ -464,8 +465,8 @@ def test_per_replica_bn_survives_scan_fusion(cfg):
     model, state0 = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(11)
-    stack = rng.uniform(0, 1, (8, 32, 32, 15)).astype(np.float32)
-    stack[..., 12:] = (stack[..., 12:] > 0.8).astype(np.float32)
+    stack = rng.uniform(0, 1, (8, 15, 32, 32)).astype(np.float32)
+    stack[:, 12:] = (stack[:, 12:] > 0.8).astype(np.float32)
     lab = np.ones((8,), np.float32)
     key = jax.random.PRNGKey(5)
 

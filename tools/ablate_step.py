@@ -43,14 +43,20 @@ def main():
         rng = jax.random.PRNGKey(7)
         host = np.random.default_rng(0)
         stack = jnp.asarray(
-            host.uniform(0, 1, (bs, 256, 256, 15)), jnp.float32)
+            host.uniform(0, 1, (bs, 15, 256, 256)), jnp.float32)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        # _augment takes the planar wire and yields NHWC; fold back to the
+        # wire layout so the scan carry keeps a fixed shape
+        def aug_wire(s, i):
+            a = train_lib._augment(s, jax.random.fold_in(rng, i), cfg, layout)
+            return a, jnp.moveaxis(a, -1, -3).astype(s.dtype)
 
         @jax.jit
         def run_aug(stack):
             def f(s, i):
-                return train_lib._augment(
-                    s, jax.random.fold_in(rng, i), cfg, layout), None
+                _, s = aug_wire(s, i)
+                return s, None
             s, _ = lax.scan(f, stack, jnp.arange(K))
             return s
 
@@ -61,8 +67,8 @@ def main():
         def run_fwd(stack):
             def f(carry, i):
                 s, acc = carry
-                s = train_lib._augment(s, jax.random.fold_in(rng, i), cfg, layout)
-                x1, x2, y, *_ = train_lib.split_stack(s, layout)
+                a, s = aug_wire(s, i)
+                x1, x2, y, *_ = train_lib.split_stack(a, layout)
                 out, _ = train_lib._apply_train(
                     model, variables["params"], variables["batch_stats"],
                     x1.astype(jnp.bfloat16), x2.astype(jnp.bfloat16),
@@ -75,8 +81,8 @@ def main():
         def run_grad(stack):
             def f(carry, i):
                 s, acc = carry
-                s = train_lib._augment(s, jax.random.fold_in(rng, i), cfg, layout)
-                x1, x2, y, *_ = train_lib.split_stack(s, layout)
+                a, s = aug_wire(s, i)
+                x1, x2, y, *_ = train_lib.split_stack(a, layout)
 
                 def loss_fn(params):
                     out, new_stats = train_lib._apply_train(

@@ -34,8 +34,8 @@ cfg.MODEL.TYPE = "siameseunet"
 cfg.TRAINER.BATCH_SIZE = BS
 
 host = np.random.default_rng(0)
-stacks = host.uniform(0, 1, (K, BS, 256, 256, 15)).astype(np.float32)
-stacks[..., 12:] = (stacks[..., 12:] > 0.8).astype(np.float32)
+stacks = host.uniform(0, 1, (K, BS, 15, 256, 256)).astype(np.float32)
+stacks[..., 12:, :, :] = (stacks[..., 12:, :, :] > 0.8).astype(np.float32)
 stacks = jax.device_put(stacks)
 lab = jax.device_put(np.ones((K, BS), np.float32))
 rng = jax.random.PRNGKey(7)

@@ -337,7 +337,8 @@ def main() -> int:
 
         def side_b_step(s, parts):
             nonlocal state
-            state, metrics = step_fn(state, stacks[s], labeled[s], rng_key)
+            state, metrics = step_fn(state, train_lib.nhwc_to_wire(stacks[s]),
+                                     labeled[s], rng_key)
             return float(metrics["loss"])
 
         side_b_desc = (f"this repo ({jax.default_backend()}, "

@@ -32,7 +32,7 @@ step_fn = train_lib.make_scanned_train_step(model, cfg, a.regime, mesh=None)
 rng = jax.random.PRNGKey(7)
 host = np.random.default_rng(0)
 K = 10
-stacks = jnp.asarray(host.uniform(0, 1, (K, bs, 256, 256, 15)), jnp.float32)
+stacks = jnp.asarray(host.uniform(0, 1, (K, bs, 15, 256, 256)), jnp.float32)
 lab = jnp.ones((K, bs), jnp.float32)
 
 state, m = step_fn(state, stacks, lab, rng)
