@@ -12,9 +12,9 @@ crops into a planar ``(C, S, S)`` wire stack, and copying a planar window
 into a planar destination is a contiguous-run memcpy per channel — 16x
 faster than the channel-interleaved (H, W, C) window copy it replaced
 (1.70 -> 0.10 ms per sample at 256² crops; the dst stride-13 scatter was
-the cost). The public ``load``/``load_window`` accessors still return
-(H, W, C) float32 for the eval/assessment paths (per-channel fill from
-planar measures slightly FASTER than the old contiguous convert).
+the cost). The public ``load`` accessor still returns (H, W, C) float32
+for the eval/assessment paths (per-channel fill from planar measures
+slightly FASTER than the old contiguous convert).
 
 Band subsetting, ``clip(0, 1)`` and ``nan_to_num`` (reference
 datasets.py:30-46) are applied at cache-build time so the hot path is a pure
@@ -148,13 +148,6 @@ class SceneCache:
             out[..., i] = planar[i]
         return out
 
-    def load_raw(self, aoi_id: str, modality: str, year: int, month: int) -> np.ndarray:
-        """Scene in its storage dtype as a zero-copy (H, W, C) STRIDED view
-        of the planar storage. Prefer :meth:`load_raw_planar` in hot paths —
-        dense ops over this view pay the channel-interleave stride."""
-        return self.load_raw_planar(aoi_id, modality, year, month
-                                    ).transpose(1, 2, 0)
-
     def load_raw_planar(self, aoi_id: str, modality: str,
                         year: int, month: int) -> np.ndarray:
         """Memmap-backed planar (C, H, W) scene in its storage dtype (no
@@ -170,16 +163,6 @@ class SceneCache:
                 img.transpose(2, 0, 1) if img.ndim == 3 else img[None])
         arr, index = self._load_packed(aoi_id, modality)
         return arr[index[(year, month)]].view(np.ndarray)
-
-    def load_window(self, aoi_id: str, modality: str, year: int, month: int,
-                    y0: int, x0: int, size: int) -> np.ndarray:
-        """float32 crop (size, size, C) — converts only the window."""
-        planar = self.load_raw_planar(aoi_id, modality, year, month)
-        win = planar[:, y0:y0 + size, x0:x0 + size]
-        out = np.empty(win.shape[1:] + (win.shape[0],), np.float32)
-        for i in range(win.shape[0]):
-            out[..., i] = win[i]
-        return out
 
     def scene_shape(self, aoi_id: str, modality: str, year: int, month: int) -> tuple:
         """(H, W, C) — the layout-independent logical shape."""

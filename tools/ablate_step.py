@@ -115,8 +115,13 @@ def main():
         print(f"batch {bs:3d}: aug={t_aug*1e3:6.2f}  aug+fwd={t_fwd*1e3:6.2f}  "
               f"aug+fwd+bwd={t_grad*1e3:6.2f}  full={t_full*1e3:6.2f} ms/step  "
               f"({bs/t_full:6.1f} patches/s)")
-        # NB: fwd/grad runs include split+cast but NOT augmentation; aug is
-        # separate. full = aug + fwd + bwd + AdamW + BN-stat carry.
+        # NB: segments are NESTED — fwd/grad chain the augmentation too, so
+        # read DIFFERENCES (fwd-aug = forward, grad-fwd = backward). The
+        # carry fold-back in aug_wire (moveaxis+cast the production step
+        # doesn't do) adds a constant per-iteration overhead to every
+        # chained segment; it cancels in the differences but inflates the
+        # absolute 'aug' number slightly. full = real production step
+        # (aug + fwd + bwd + AdamW + BN-stat carry, planar xs input).
 
 
 if __name__ == "__main__":

@@ -70,9 +70,11 @@ def main() -> int:
         # Speed-of-light accounting (same methodology as the train-step
         # budgets in BASELINE.md): XLA's analytical FLOP count for the
         # compiled eval forward divided by the measured wall time.
-        lowered = jax.jit(train_lib.eval_forward, static_argnames=("model",)
-                          ).lower(model, state.params, state.batch_stats,
-                                  x1d, x2d)
+        # eval_forward is already jitted — lower through the SAME wrapper so
+        # the compiled executable from the timed run above is reused instead
+        # of paying a second multi-minute compile on the tunneled rig.
+        lowered = train_lib.eval_forward.lower(model, state.params,
+                                               state.batch_stats, x1d, x2d)
         cost = lowered.compile().cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         flops = float(cost.get("flops", 0.0))

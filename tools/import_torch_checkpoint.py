@@ -9,7 +9,8 @@ tool ports the network weights (torch_port layout conversions; optimizer
 moments are torch-layout and are NOT ported — fine-tuning restarts AdamW)
 and writes a checkpoint this framework's trainers/assessment load natively:
 
-    python tools/import_torch_checkpoint.py -c siamese -o runs/ -d /data/sn7 \
+    python tools/import_torch_checkpoint.py -c siamese -p sn7 -o runs/ \
+        -d /data/sn7 \
         --src /torch_runs/networks/siamese_checkpoint100.pt --epoch 100
 
 Afterwards ``assessment_change.py -c siamese -o runs/ -d /data/sn7
