@@ -333,6 +333,63 @@ class MultimodalCDDataset:
             item['y_sem_t2'] = np.ascontiguousarray(buildings[..., 1:])
         return item
 
+    def eval_wire(self, index: int, bucket: int = 64) -> dict | None:
+        """Planar, bucket-padded full-scene eval wires — the run_measurer
+        fast path (evaluation.py). Assembles straight from the planar scene
+        cache in the cache's STORAGE dtype (f16 by default — values are
+        exactly representable there, so the device-side upcast reproduces
+        the float32 item path bit-for-bit) with uint8 label/valid planes:
+        ~4x less host->device wire than padded float32 items and no full-
+        scene float32 materialization on the host.
+
+        Returns None when the scene cache is disabled (callers fall back to
+        the ``__getitem__`` item path). Keys: ``x1``/``x2`` (C, Hp, Wp)
+        planar padded imagery, ``y``/``valid`` (Hp, Wp) uint8, ``shape``
+        (h, w) true scene size, plus the item metadata fields.
+        """
+        if not self.cache.enabled:
+            return None
+        rng = self.rng
+        aoi_id = self.aoi_ids[index]
+        labeled = self.labeled[index]
+        timestamps = self._eligible_timestamps(aoi_id, labeled)
+        (year_t1, month_t1), (year_t2, month_t2) = self._pick_pair(timestamps, rng)
+
+        mode = self.cfg.DATALOADER.INPUT_MODE
+        modalities = {'s1': ['s1'], 's2': ['s2']}.get(mode, ['s1', 's2'])
+
+        def planar_x(year, month):
+            planes = [self.cache.load_raw_planar(aoi_id, m, year, month)
+                      for m in modalities]
+            c = sum(p.shape[0] for p in planes)
+            h, w = planes[0].shape[1:]
+            hp, wp = -(-h // bucket) * bucket, -(-w // bucket) * bucket
+            out = np.zeros((c, hp, wp), planes[0].dtype)
+            c0 = 0
+            for p in planes:
+                out[c0:c0 + p.shape[0], :h, :w] = p
+                c0 += p.shape[0]
+            return out, (h, w)
+
+        x1, (h, w) = planar_x(year_t1, month_t1)
+        x2, _ = planar_x(year_t2, month_t2)
+        hp, wp = x1.shape[1:]
+        y = np.zeros((hp, wp), np.uint8)
+        if labeled:
+            b1 = self.cache.load_raw_planar(aoi_id, 'buildings',
+                                            year_t1, month_t1)[0]
+            b2 = self.cache.load_raw_planar(aoi_id, 'buildings',
+                                            year_t2, month_t2)[0]
+            # construction-only change over {0,1} rasters == b2 > b1
+            np.greater(b2, b1, out=y[:h, :w])
+        valid = np.zeros((hp, wp), np.uint8)
+        valid[:h, :w] = 1
+        return {
+            'x1': x1, 'x2': x2, 'y': y, 'valid': valid, 'shape': (h, w),
+            'aoi_id': aoi_id, 'year_t1': year_t1, 'month_t1': month_t1,
+            'year_t2': year_t2, 'month_t2': month_t2, 'is_labeled': labeled,
+        }
+
     def stack_spec(self):
         """``((C, S, S), dtype)`` of the training ``'stack'`` item when the
         crop-first fast path is active, else None. Non-None tells the loader

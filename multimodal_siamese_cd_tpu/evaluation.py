@@ -32,12 +32,16 @@ Also fixes the reference's loop-variable shadowing of ``step``
 
 from __future__ import annotations
 
+import functools as _functools
+
+import jax as _jax
+import jax.numpy as jnp
 import numpy as np
 
 from . import wandb_compat
 from .data.dataset import MultimodalCDDataset
-from .metrics import MultiThresholdMetric
-from .train_lib import eval_forward
+from .metrics import MultiThresholdMetric, confusion_at_thresholds
+from .train_lib import eval_forward, wire_to_nhwc
 
 EVAL_BUCKET = 64
 
@@ -81,6 +85,77 @@ def scene_probabilities(model, state, item: dict) -> np.ndarray:
     return np.asarray(probs)[0, :h, :w, 0]
 
 
+@_functools.partial(_jax.jit, static_argnames=("model",))
+def _eval_wire_counts_jit(model, params, batch_stats, x1p, x2p, y, valid,
+                          thresholds):
+    """Fused eval forward + confusion for one padded scene group — ONE
+    dispatch in, a tiny ``(B, n_thresholds)`` count quadruple out.
+
+    Wires are planar ``(B, C, Hp, Wp)`` in the cache storage dtype plus
+    uint8 label/valid planes; the transpose to NHWC and the float32 upcast
+    happen on device (free layout/convert ops XLA folds into the first
+    convolution), so the graph sees exactly what :func:`eval_forward` sees
+    on float32 items. Confusion is vmapped PER SCENE so each count stays
+    within float32's exact-integer range regardless of group size; callers
+    accumulate across scenes in float64 on host
+    (:meth:`MultiThresholdMetric.add_counts`).
+
+    Replaces the per-scene eager-jnp confusion the measurer used to run
+    (≈10 dispatches + 8 MB of label/mask upload per scene, serialized with
+    the forwards) — the e2e win is measured in tools/bench_assessment.py.
+    """
+    x1 = wire_to_nhwc(x1p).astype(jnp.float32)
+    x2 = wire_to_nhwc(x2p).astype(jnp.float32)
+    probs = eval_forward(model, params, batch_stats, x1, x2)
+
+    def scene_counts(p, yt, v):
+        return confusion_at_thresholds(yt, p, thresholds, v)
+
+    return _jax.vmap(scene_counts)(probs[..., 0], y, valid)
+
+
+def _measure_wired(model, state, ds, measurer,
+                   bucket: int) -> MultiThresholdMetric:
+    """Streaming group evaluation over ``ds.eval_wire`` wires with ONE
+    group in flight: while the device runs group N, the host assembles
+    group N+1 (the fetch of N's counts is a tiny RTT). Accumulation order
+    is identical to the sequential path — groups are consumed in dispatch
+    order."""
+    thr = np.asarray(measurer.thresholds)
+    pending: dict = {}
+    inflight: list = []
+
+    def consume() -> None:
+        counts = inflight.pop(0)
+        measurer.add_counts(*(np.asarray(a, np.float64).sum(axis=0)
+                              for a in counts))
+
+    def dispatch(group: list) -> None:
+        x1 = np.stack([g['x1'] for g in group])
+        x2 = np.stack([g['x2'] for g in group])
+        y = np.stack([g['y'] for g in group])
+        valid = np.stack([g['valid'] for g in group])
+        if inflight:  # bound device residency to one group + one staged
+            consume()
+        inflight.append(_eval_wire_counts_jit(
+            model, state.params, state.batch_stats, x1, x2, y, valid, thr))
+
+    for i in range(len(ds)):
+        wire = ds.eval_wire(i, bucket)
+        shape = wire['x1'].shape[1:]
+        group = pending.setdefault(wire['x1'].shape, [])
+        group.append(wire)
+        if len(group) >= eval_group_limit(shape):
+            dispatch(group[:])
+            group.clear()
+    for group in pending.values():
+        if group:
+            dispatch(group)
+    while inflight:
+        consume()
+    return measurer
+
+
 def run_measurer(model, state, ds, thresholds,
                  batch_scenes: bool = True,
                  bucket: int = EVAL_BUCKET) -> MultiThresholdMetric:
@@ -89,9 +164,16 @@ def run_measurer(model, state, ds, thresholds,
     Scenes are padded to bucketed shapes; scenes sharing a bucket are
     stacked and evaluated in ONE forward (same per-scene metrics as the
     reference's batch-1 loop, far fewer dispatches — each dispatch costs a
-    tunnel round trip here). ``batch_scenes=False`` restores per-scene
-    dispatch."""
+    tunnel round trip here). When ``ds`` is a cache-backed
+    :class:`MultimodalCDDataset`, the fused wire path runs instead
+    (:func:`_measure_wired`): planar storage-dtype wires, on-device
+    confusion, one group in flight. ``batch_scenes=False`` restores
+    per-scene dispatch; item lists and cache-disabled datasets use the
+    item path below."""
     measurer = MultiThresholdMetric(thresholds)
+    if batch_scenes and getattr(ds, 'eval_wire', None) is not None \
+            and getattr(ds, 'cache', None) is not None and ds.cache.enabled:
+        return _measure_wired(model, state, ds, measurer, bucket)
 
     def flush(chunk: list) -> None:
         x1 = np.stack([s[0] for s in chunk])
@@ -192,11 +274,6 @@ def sharded_scene_probabilities(model, state, item: dict, mesh) -> np.ndarray:
     probs = eval_forward(model, state.params, state.batch_stats, x1, x2)
     h, w = item["x_t1"].shape[:2]
     return np.asarray(probs)[0, :h, :w, 0]
-
-
-import functools as _functools
-
-import jax as _jax
 
 
 @_functools.partial(_jax.jit, static_argnames=("model",))

@@ -53,6 +53,17 @@ class MultiThresholdMetric:
         self.FP = self.FP + fp
         self.FN = self.FN + fn
 
+    def add_counts(self, tp, tn, fp, fn) -> None:
+        """Accumulate precomputed per-threshold ``(n_thresholds,)`` counts —
+        the fused eval path (evaluation.py) computes confusion on device
+        inside the forward dispatch and ships only these sums. Host-side
+        float64 accumulation keeps totals exact past float32's 2^24 integer
+        range (a multi-thousand-scene split exceeds it in TN)."""
+        self.TP = np.asarray(self.TP, np.float64) + np.asarray(tp, np.float64)
+        self.TN = np.asarray(self.TN, np.float64) + np.asarray(tn, np.float64)
+        self.FP = np.asarray(self.FP, np.float64) + np.asarray(fp, np.float64)
+        self.FN = np.asarray(self.FN, np.float64) + np.asarray(fn, np.float64)
+
     @property
     def precision(self):
         return self.TP / jnp.clip(self.TP + self.FP, CLAMP, None)

@@ -455,3 +455,40 @@ def test_threaded_loader_releases_consumed_batches(cfg):
         next(it)
     gc.collect()
     assert ref() is None, "consumed batch still pinned by the futures list"
+
+
+def test_eval_wire_matches_items_exactly(cfg):
+    """eval_wire's planar padded wires must carry exactly the item path's
+    values: imagery (after device-side transpose+upcast), construction-only
+    change labels, and the valid mask — for every eval scene and both
+    INPUT_MODEs the shipped configs use."""
+    for mode in ("fusion", "s2"):
+        cfg.DATALOADER.INPUT_MODE = mode
+        ds = MultimodalCDDataset(cfg, "validation", no_augmentations=True,
+                                 dataset_mode="first_last",
+                                 disable_multiplier=True,
+                                 disable_unlabeled=True)
+        for i in range(len(ds)):
+            w = ds.eval_wire(i, bucket=64)
+            item = ds[i]
+            h, wd = item["x_t1"].shape[:2]
+            assert w["shape"] == (h, wd)
+            assert w["x1"].shape[1] % 64 == 0 and w["x1"].shape[2] % 64 == 0
+            for wk, ik in (("x1", "x_t1"), ("x2", "x_t2")):
+                hwc = np.moveaxis(w[wk], 0, -1).astype(np.float32)
+                np.testing.assert_array_equal(hwc[:h, :wd], item[ik],
+                                              err_msg=f"{mode}/{wk}")
+                assert not hwc[h:].any() and not hwc[:, wd:].any()
+            np.testing.assert_array_equal(
+                w["y"][:h, :wd].astype(np.float32), item["y_change"][..., 0])
+            assert not w["y"][h:].any() and not w["y"][:, wd:].any()
+            assert w["valid"][:h, :wd].all()
+            assert not w["valid"][h:].any() and not w["valid"][:, wd:].any()
+
+
+def test_eval_wire_disabled_cache_falls_back(cfg):
+    cfg.DATALOADER.SCENE_CACHE = False
+    ds = MultimodalCDDataset(cfg, "validation", no_augmentations=True,
+                             dataset_mode="first_last",
+                             disable_multiplier=True, disable_unlabeled=True)
+    assert ds.eval_wire(0) is None

@@ -292,6 +292,47 @@ def test_measure_dispatch_latency_probe():
     assert ms < 0.5
 
 
+def test_wired_eval_path_matches_item_path(cfg):
+    """The fused wire path (planar f16 wires + on-device confusion,
+    evaluation._measure_wired) must reproduce the float32 item path's
+    confusion counts EXACTLY — the wires carry the same real values
+    (f16-exact cache storage) and the same confusion math runs on the same
+    probabilities."""
+    cfg.MODEL.TYPE = "siameseunet"
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    ds = MultimodalCDDataset(cfg, "validation", no_augmentations=True,
+                             dataset_mode="first_last", disable_multiplier=True,
+                             disable_unlabeled=True)
+    assert ds.eval_wire(0) is not None and ds.cache.enabled  # fast path armed
+    wired = evaluation.run_measurer(model, state, ds, np.array([0.5]))
+    items = [ds[i] for i in range(len(ds))]  # lists take the item path
+    ref = evaluation.run_measurer(model, state, items, np.array([0.5]))
+    for k in ("TP", "TN", "FP", "FN"):
+        a = np.asarray(getattr(wired, k), np.float64)
+        b = np.asarray(getattr(ref, k), np.float64)
+        np.testing.assert_array_equal(a, b, err_msg=k)
+
+
+def test_wired_eval_multihead_and_pad_exact_modes(cfg):
+    """Fused path works for multi-head models (first-head selection) and
+    under EVAL_PAD_MULTIPLE: 1 (exact shapes, one compile per shape)."""
+    cfg.MODEL.TYPE = "dtsiameseunet"
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    ds = MultimodalCDDataset(cfg, "validation", no_augmentations=True,
+                             dataset_mode="first_last", disable_multiplier=True,
+                             disable_unlabeled=True)
+    items = [ds[i] for i in range(len(ds))]
+    for bucket in (64, 1):
+        wired = evaluation.run_measurer(model, state, ds, np.array([0.5]),
+                                        bucket=bucket)
+        ref = evaluation.run_measurer(model, state, items, np.array([0.5]),
+                                      bucket=bucket)
+        for k in ("TP", "TN", "FP", "FN"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(wired, k), np.float64),
+                np.asarray(getattr(ref, k), np.float64), err_msg=f"{k}@{bucket}")
+
+
 def test_run_measurer_streams_buckets(cfg, monkeypatch):
     """run_measurer must evaluate each shape bucket as it fills instead of
     materializing every padded scene before the first forward (the round-1

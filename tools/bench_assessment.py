@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""END-TO-END full-scene evaluation throughput at the SpaceNet7 shape class.
+
+tools/bench_eval.py times the jitted ``eval_forward`` alone (device compute);
+this tool times the whole production path the trainer's in-training eval and
+``assessment_change.py`` actually run — ``evaluation.run_measurer`` driven by
+a real ``MultimodalCDDataset`` iterator: host scene assembly out of the
+packed cache, bucket padding, group stacking, device forward, and confusion
+accumulation. The gap between the two numbers is host/dispatch serialization
+that forward-only benches cannot see.
+
+Usage (defaults: 32 labeled ~1000^2 scenes, one warmup + one timed pass):
+
+    python tools/bench_assessment.py
+    python tools/bench_assessment.py --host-only   # no-device phase split
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+AOI_TMPL = "L15-beval{:02d}"
+
+
+def ensure_dataset(root: Path, scene: int, n_aois: int) -> None:
+    import json as _json
+
+    params = {"scene": scene, "n_aois": n_aois, "timestamps": 2}
+    marker = root / "bench_assessment_gen_params.json"
+    if marker.exists() and _json.loads(marker.read_text()) == params:
+        return
+    if root.exists():
+        if not marker.exists():
+            raise SystemExit(
+                f"{root} exists but has no {marker.name}; refusing to "
+                f"overwrite a dataset this tool did not generate")
+        import shutil
+
+        shutil.rmtree(root)
+    from multimodal_siamese_cd_tpu.data.synthetic import generate_fixture_dataset
+
+    print(f"generating {n_aois} x {scene}^2 scenes at {root} "
+          f"(one-time, cached)...", flush=True)
+    aois = {AOI_TMPL.format(i): True for i in range(n_aois)}
+    generate_fixture_dataset(root, seed=11, scene_size=(scene, scene),
+                             n_timestamps=2, aois=aois)
+    marker.write_text(_json.dumps(params))
+
+
+def host_only_pass(ds, bucket: int) -> float:
+    """The run_measurer streaming loop minus every device call."""
+    from multimodal_siamese_cd_tpu import evaluation
+
+    pending: dict = {}
+    t0 = time.perf_counter()
+    for item in ds:
+        x1, valid = evaluation.pad_to_bucket(item["x_t1"], bucket)
+        x2, _ = evaluation.pad_to_bucket(item["x_t2"], bucket)
+        y, _ = evaluation.pad_to_bucket(item["y_change"], bucket)
+        group = pending.setdefault(x1.shape, [])
+        group.append((x1, x2, y, valid))
+        if len(group) >= evaluation.eval_group_limit(x1.shape):
+            np.stack([s[0] for s in group])
+            np.stack([s[1] for s in group])
+            group.clear()
+    for group in pending.values():
+        if group:
+            np.stack([s[0] for s in group])
+            np.stack([s[1] for s in group])
+    return time.perf_counter() - t0
+
+
+def wire_host_only_pass(ds, bucket: int) -> float:
+    """The fused-path streaming loop minus every device call."""
+    from multimodal_siamese_cd_tpu import evaluation
+
+    pending: dict = {}
+    t0 = time.perf_counter()
+    for i in range(len(ds)):
+        w = ds.eval_wire(i, bucket)
+        group = pending.setdefault(w["x1"].shape, [])
+        group.append(w)
+        if len(group) >= evaluation.eval_group_limit(w["x1"].shape[1:]):
+            for k in ("x1", "x2", "y", "valid"):
+                np.stack([g[k] for g in group])
+            group.clear()
+    for group in pending.values():
+        if group:
+            for k in ("x1", "x2", "y", "valid"):
+                np.stack([g[k] for g in group])
+    return time.perf_counter() - t0
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--scene", type=int, default=1000,
+                   help="scene base size (1000 %% 64 != 0 exercises padding)")
+    p.add_argument("--n-aois", type=int, default=32)
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--host-only", action="store_true",
+                   help="only run the no-device host phase split")
+    p.add_argument("--item-path", action="store_true",
+                   help="force the legacy float32-item eval path (pre-fused "
+                        "baseline: 0.45 scenes/s on the tunneled rig)")
+    args = p.parse_args()
+
+    data = Path(args.data_dir or f"/tmp/bassds{args.scene}_{args.n_aois}")
+    ensure_dataset(data, args.scene, args.n_aois)
+
+    import jax
+
+    from multimodal_siamese_cd_tpu import evaluation, train_lib
+    from multimodal_siamese_cd_tpu.config import load_cfg
+    from multimodal_siamese_cd_tpu.data.dataset import MultimodalCDDataset
+
+    cfg = load_cfg("siamese")
+    cfg.PATHS.DATASET = str(data)
+    cfg.DATASET.TRAINING_IDS = []
+    cfg.DATASET.VALIDATION_IDS = [AOI_TMPL.format(i)
+                                  for i in range(args.n_aois)]
+    cfg.DATASET.TEST_IDS = []
+    cfg.DATASET.UNLABELED_IDS = []
+
+    ds = MultimodalCDDataset(cfg, "validation", no_augmentations=True,
+                             dataset_mode="first_last",
+                             disable_multiplier=True, disable_unlabeled=True)
+    if args.item_path:
+        # Iterable without eval_wire/cache attrs -> run_measurer's item
+        # path, still paying per-pass host item assembly like the old code.
+        class ItemIter:
+            def __iter__(self, _ds=ds):
+                return (_ds[i] for i in range(len(_ds)))
+        n = len(ds)
+        ds = ItemIter()
+    else:
+        n = len(ds)
+    print(f"{n} scenes, backend={jax.default_backend()}", flush=True)
+
+    # First full pass: builds the scene cache, warms the page cache, and
+    # compiles the (single) bucket shape — excluded from timing.
+    t0 = time.perf_counter()
+    if args.item_path:
+        host_s = host_only_pass(ds, evaluation.EVAL_BUCKET)
+    else:
+        host_s = wire_host_only_pass(ds, evaluation.EVAL_BUCKET)
+    print(f"host-only pass (cold cache build included): "
+          f"{time.perf_counter() - t0:.1f} s", flush=True)
+    host_s = (host_only_pass if args.item_path else wire_host_only_pass)(
+        ds, evaluation.EVAL_BUCKET)
+    print(f"host-only (warm): {host_s:.2f} s "
+          f"({n / host_s:.2f} scenes/s)", flush=True)
+    if args.host_only:
+        return 0
+
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    thresholds = np.asarray([0.5])
+
+    def timed_pass() -> tuple[float, float]:
+        t0 = time.perf_counter()
+        measurer = evaluation.run_measurer(model, state, ds, thresholds)
+        f1 = float(np.asarray(measurer.compute_f1()).max())  # closes window
+        return time.perf_counter() - t0, f1
+
+    warm_s, _ = timed_pass()  # compile + tunnel warmup
+    print(f"e2e warmup pass: {warm_s:.1f} s", flush=True)
+    e2e_s, f1 = timed_pass()
+    print(f"e2e (warm): {e2e_s:.2f} s ({n / e2e_s:.2f} scenes/s, F1 {f1:.4f})",
+          flush=True)
+
+    print(json.dumps({
+        "metric": "eval_e2e_scenes_per_sec", "value": round(n / e2e_s, 2),
+        "unit": "scenes/s", "scene_class": args.scene, "n_scenes": n,
+        "host_only_scenes_per_sec": round(n / host_s, 2),
+        "e2e_wall_s": round(e2e_s, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
