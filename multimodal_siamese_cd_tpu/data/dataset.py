@@ -342,12 +342,15 @@ class MultimodalCDDataset:
         ~4x less host->device wire than padded float32 items and no full-
         scene float32 materialization on the host.
 
-        Returns None when the scene cache is disabled (callers fall back to
-        the ``__getitem__`` item path). Keys: ``x1``/``x2`` (C, Hp, Wp)
-        planar padded imagery, ``y``/``valid`` (Hp, Wp) uint8, ``shape``
-        (h, w) true scene size, plus the item metadata fields.
+        Returns None when the scene cache is disabled OR the dataset is in
+        augmentation mode (callers fall back to the ``__getitem__`` item
+        path — an aug-mode item is a random CROP, so the full-scene wire
+        would silently change what run_measurer evaluates). Keys:
+        ``x1``/``x2`` (C, Hp, Wp) planar padded imagery, ``y``/``valid``
+        (Hp, Wp) uint8, ``shape`` (h, w) true scene size, plus the item
+        metadata fields.
         """
-        if not self.cache.enabled:
+        if not self.cache.enabled or not self.no_augmentations:
             return None
         rng = self.rng
         aoi_id = self.aoi_ids[index]

@@ -146,7 +146,7 @@ def _measure_wired(model, state, ds, measurer,
         group = pending.setdefault(wire['x1'].shape, [])
         group.append(wire)
         if len(group) >= eval_group_limit(shape):
-            dispatch(group[:])
+            dispatch(group)  # consumes synchronously (np.stack copies)
             group.clear()
     for group in pending.values():
         if group:
@@ -172,7 +172,8 @@ def run_measurer(model, state, ds, thresholds,
     item path below."""
     measurer = MultiThresholdMetric(thresholds)
     if batch_scenes and getattr(ds, 'eval_wire', None) is not None \
-            and getattr(ds, 'cache', None) is not None and ds.cache.enabled:
+            and getattr(ds, 'cache', None) is not None and ds.cache.enabled \
+            and getattr(ds, 'no_augmentations', False):
         return _measure_wired(model, state, ds, measurer, bucket)
 
     def flush(chunk: list) -> None:

@@ -57,8 +57,11 @@ class MultiThresholdMetric:
         """Accumulate precomputed per-threshold ``(n_thresholds,)`` counts —
         the fused eval path (evaluation.py) computes confusion on device
         inside the forward dispatch and ships only these sums. Host-side
-        float64 accumulation keeps totals exact past float32's 2^24 integer
-        range (a multi-thousand-scene split exceeds it in TN)."""
+        float64 accumulation keeps the STORED totals exact past float32's
+        2^24 integer range (a multi-thousand-scene split exceeds it in TN);
+        the derived metrics below still compute in float32 like the
+        reference's torch path — a bounded one-time ~1e-7 rounding at the
+        division, not the unbounded drift of float32 accumulation."""
         self.TP = np.asarray(self.TP, np.float64) + np.asarray(tp, np.float64)
         self.TN = np.asarray(self.TN, np.float64) + np.asarray(tn, np.float64)
         self.FP = np.asarray(self.FP, np.float64) + np.asarray(fp, np.float64)

@@ -486,6 +486,16 @@ def test_eval_wire_matches_items_exactly(cfg):
             assert not w["valid"][h:].any() and not w["valid"][:, wd:].any()
 
 
+def test_eval_wire_refuses_augmentation_mode(cfg):
+    """An aug-mode item is a random crop; eval_wire must refuse so
+    run_measurer's fast-path gate cannot silently switch the evaluated
+    surface from crops to full scenes based on the SCENE_CACHE perf knob."""
+    ds = MultimodalCDDataset(cfg, "validation", dataset_mode="first_last",
+                             disable_multiplier=True, disable_unlabeled=True)
+    assert not ds.no_augmentations and ds.cache.enabled
+    assert ds.eval_wire(0) is None
+
+
 def test_eval_wire_disabled_cache_falls_back(cfg):
     cfg.DATALOADER.SCENE_CACHE = False
     ds = MultimodalCDDataset(cfg, "validation", no_augmentations=True,

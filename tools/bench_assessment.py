@@ -35,22 +35,28 @@ def ensure_dataset(root: Path, scene: int, n_aois: int) -> None:
     marker = root / "bench_assessment_gen_params.json"
     if marker.exists() and _json.loads(marker.read_text()) == params:
         return
+    import shutil
+
     if root.exists():
         if not marker.exists():
             raise SystemExit(
                 f"{root} exists but has no {marker.name}; refusing to "
                 f"overwrite a dataset this tool did not generate")
-        import shutil
-
         shutil.rmtree(root)
     from multimodal_siamese_cd_tpu.data.synthetic import generate_fixture_dataset
 
     print(f"generating {n_aois} x {scene}^2 scenes at {root} "
           f"(one-time, cached)...", flush=True)
+    # Generate into a sibling temp dir and rename so an interrupted run
+    # never leaves a marker-less root that bricks subsequent invocations.
+    tmp = root.with_name(root.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
     aois = {AOI_TMPL.format(i): True for i in range(n_aois)}
-    generate_fixture_dataset(root, seed=11, scene_size=(scene, scene),
+    generate_fixture_dataset(tmp, seed=11, scene_size=(scene, scene),
                              n_timestamps=2, aois=aois)
-    marker.write_text(_json.dumps(params))
+    (tmp / marker.name).write_text(_json.dumps(params))
+    tmp.rename(root)
 
 
 def host_only_pass(ds, bucket: int) -> float:
@@ -145,10 +151,8 @@ def main() -> int:
     # First full pass: builds the scene cache, warms the page cache, and
     # compiles the (single) bucket shape — excluded from timing.
     t0 = time.perf_counter()
-    if args.item_path:
-        host_s = host_only_pass(ds, evaluation.EVAL_BUCKET)
-    else:
-        host_s = wire_host_only_pass(ds, evaluation.EVAL_BUCKET)
+    (host_only_pass if args.item_path else wire_host_only_pass)(
+        ds, evaluation.EVAL_BUCKET)
     print(f"host-only pass (cold cache build included): "
           f"{time.perf_counter() - t0:.1f} s", flush=True)
     host_s = (host_only_pass if args.item_path else wire_host_only_pass)(
