@@ -56,6 +56,33 @@ def eval_host_work_loop(stop: threading.Event, ds_items, counters) -> None:
                 return
 
 
+def wire_eval_host_work_loop(stop: threading.Event, eval_ds, bucket,
+                             counters) -> None:
+    """Replay the FUSED eval path's host-side work continuously: eval_wire
+    planar assembly plus the per-group np.stack — confusion math and the
+    float32 materialization moved on-device (evaluation._measure_wired), so
+    this is everything that still competes for the host core."""
+    from multimodal_siamese_cd_tpu.evaluation import eval_group_limit
+
+    while not stop.is_set():
+        pending: dict = {}
+        for i in range(len(eval_ds)):
+            w = eval_ds.eval_wire(i, bucket)
+            group = pending.setdefault(w["x1"].shape, [])
+            group.append(w)
+            if len(group) >= eval_group_limit(w["x1"].shape[1:]):
+                for k in ("x1", "x2", "y", "valid"):
+                    np.stack([g[k] for g in group])
+                group.clear()
+            counters["eval_scenes"] += 1
+            if stop.is_set():
+                return
+        for group in pending.values():
+            if group:
+                for k in ("x1", "x2", "y", "valid"):
+                    np.stack([g[k] for g in group])
+
+
 def measure_loader(loader, seconds: float) -> float:
     t0 = time.perf_counter()
     n = 0
@@ -72,6 +99,10 @@ def main() -> int:
     p.add_argument("--scene", type=int, default=1000)
     p.add_argument("--seconds", type=float, default=30.0)
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--wire", action="store_true",
+                   help="replay the fused wire eval path's host work "
+                        "(the production path since the fused measurer) "
+                        "instead of the legacy float32 item path")
     args = p.parse_args()
 
     from multimodal_siamese_cd_tpu.config import load_cfg
@@ -105,7 +136,15 @@ def main() -> int:
                                   dataset_mode="first_last",
                                   disable_multiplier=True,
                                   disable_unlabeled=True)
-    eval_items = [eval_ds[i] for i in range(len(eval_ds))]
+    if args.wire:
+        from multimodal_siamese_cd_tpu.evaluation import EVAL_BUCKET
+        eval_ds.eval_wire(0, EVAL_BUCKET)  # warm the eval scene cache
+        eval_target = wire_eval_host_work_loop
+        eval_args = (eval_ds, EVAL_BUCKET)
+    else:
+        eval_items = [eval_ds[i] for i in range(len(eval_ds))]
+        eval_target = eval_host_work_loop
+        eval_args = (eval_items,)
 
     # Warm the scene cache fully: every (aoi, timestamp) pair must be
     # decoded before the timed window, else first-epoch GeoTIFF decodes
@@ -121,8 +160,8 @@ def main() -> int:
 
     stop = threading.Event()
     counters = {"eval_scenes": 0}
-    t = threading.Thread(target=eval_host_work_loop,
-                         args=(stop, eval_items, counters), daemon=True)
+    t = threading.Thread(target=eval_target,
+                         args=(stop, *eval_args, counters), daemon=True)
     t.start()
     t0 = time.perf_counter()
     contended = measure_loader(loader, args.seconds)
@@ -139,6 +178,7 @@ def main() -> int:
         "degradation_pct": round(100 * (1 - contended / alone), 1),
         "eval_scenes_per_sec_concurrent": round(eval_rate, 2),
         "scene_class": args.scene,
+        "eval_path": "wire" if args.wire else "item",
         "chip_demand_patches_per_sec": 333.7,
     }
     print(json.dumps(result))
