@@ -77,10 +77,26 @@ def qualitative_assessment_sem(cfg, run_type: str = 'validation') -> None:
 
 
 def quantitative_assessment(cfg, run_type: str = 'validation') -> None:
-    """(reference assessment_semantics.py:99-152)"""
+    """(reference assessment_semantics.py:99-152)
+
+    Fast path: when the scene cache is live, the pooled-pixel protocol runs
+    fused on device (evaluation.dualtask_quantitative_counts) — streaming
+    confusion counts instead of materializing every probability raster on
+    host (O(1) memory vs memory ∝ split size), same pooled metrics
+    (thresholding-then-summing commutes with pixel pooling). Cache-disabled
+    datasets fall back to the reference-shaped raster pooling below."""
     print(cfg.NAME)
     model, state, _ = checkpoints.load_checkpoint(cfg.INFERENCE_CHECKPOINT, cfg)
     ds = _dataset(cfg, run_type)
+
+    counts = evaluation.dualtask_quantitative_counts(model, state, ds)
+    if counts is not None:
+        for title, key in (('Change', 'change'), ('Change Sem', 'change_sem'),
+                           ('Sem', 'sem')):
+            f1, p, r = metrics.prob_metrics_from_counts(*counts[key])
+            print(f'--{title}--')
+            print(f'F1 score: {f1:.3f} - Precision: {p:.3f} - Recall {r:.3f}')
+        return
 
     predictions_change, predictions_change_sem, predictions_sem = [], [], []
     ground_truths_change, ground_truths_sem = [], []

@@ -333,7 +333,8 @@ class MultimodalCDDataset:
             item['y_sem_t2'] = np.ascontiguousarray(buildings[..., 1:])
         return item
 
-    def eval_wire(self, index: int, bucket: int = 64) -> dict | None:
+    def eval_wire(self, index: int, bucket: int = 64,
+                  sem: bool = False) -> dict | None:
         """Planar, bucket-padded full-scene eval wires — the run_measurer
         fast path (evaluation.py). Assembles straight from the planar scene
         cache in the cache's STORAGE dtype (f16 by default — values are
@@ -348,7 +349,11 @@ class MultimodalCDDataset:
         would silently change what run_measurer evaluates). Keys:
         ``x1``/``x2`` (C, Hp, Wp) planar padded imagery, ``y``/``valid``
         (Hp, Wp) uint8, ``shape`` (h, w) true scene size, plus the item
-        metadata fields.
+        metadata fields. ``sem=True`` additionally ships ``ysem1``/``ysem2``
+        (Hp, Wp) uint8 building rasters (the dual-task assessment's
+        semantic ground truths — cache stores buildings as uint8 {0,1}, so
+        the device-side ``> 0.5`` reproduces the float32 item path's
+        thresholding exactly).
         """
         if not self.cache.enabled or not self.no_augmentations:
             return None
@@ -378,6 +383,14 @@ class MultimodalCDDataset:
         x2, _ = planar_x(year_t2, month_t2)
         hp, wp = x1.shape[1:]
         y = np.zeros((hp, wp), np.uint8)
+        wire = {
+            'x1': x1, 'x2': x2, 'y': y, 'shape': (h, w),
+            'aoi_id': aoi_id, 'year_t1': year_t1, 'month_t1': month_t1,
+            'year_t2': year_t2, 'month_t2': month_t2, 'is_labeled': labeled,
+        }
+        if sem:
+            wire['ysem1'] = np.zeros((hp, wp), np.uint8)
+            wire['ysem2'] = np.zeros((hp, wp), np.uint8)
         if labeled:
             b1 = self.cache.load_raw_planar(aoi_id, 'buildings',
                                             year_t1, month_t1)[0]
@@ -385,13 +398,13 @@ class MultimodalCDDataset:
                                             year_t2, month_t2)[0]
             # construction-only change over {0,1} rasters == b2 > b1
             np.greater(b2, b1, out=y[:h, :w])
+            if sem:
+                wire['ysem1'][:h, :w] = b1
+                wire['ysem2'][:h, :w] = b2
         valid = np.zeros((hp, wp), np.uint8)
         valid[:h, :w] = 1
-        return {
-            'x1': x1, 'x2': x2, 'y': y, 'valid': valid, 'shape': (h, w),
-            'aoi_id': aoi_id, 'year_t1': year_t1, 'month_t1': month_t1,
-            'year_t2': year_t2, 'month_t2': month_t2, 'is_labeled': labeled,
-        }
+        wire['valid'] = valid
+        return wire
 
     def stack_spec(self):
         """``((C, S, S), dtype)`` of the training ``'stack'`` item when the

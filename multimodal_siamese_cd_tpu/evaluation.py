@@ -40,7 +40,8 @@ import numpy as np
 
 from . import wandb_compat
 from .data.dataset import MultimodalCDDataset
-from .metrics import MultiThresholdMetric, confusion_at_thresholds
+from .metrics import (MultiThresholdMetric, confusion_at_thresholds,
+                      strict_confusion_counts)
 from .train_lib import eval_forward, wire_to_nhwc
 
 EVAL_BUCKET = 64
@@ -303,3 +304,86 @@ def dualtask_scene_outputs(model, state, item: dict) -> dict:
     clip = lambda a: np.asarray(a)[0, :h, :w, 0]
     return {"change": clip(change), "sem_t1": clip(sem_t1),
             "sem_t2": clip(sem_t2), "change_sem": clip(change_sem)}
+
+
+@_functools.partial(_jax.jit, static_argnames=("model",))
+def _dualtask_wire_counts_jit(model, params, batch_stats, x1p, x2p,
+                              ych, ysem1, ysem2, valid):
+    """Fused dual-task forward + strict-threshold confusion over one padded
+    scene group — the offline-assessment analog of :func:`_eval_wire_counts_
+    jit`. Ships back only per-scene ``{block: (tp, fp, fn)}`` scalars for
+    the three reference blocks (change / change-from-semantics / semantics,
+    assessment_semantics.py:99-152), instead of four full-scene probability
+    rasters (~16 MB/1024² scene). Semantics counts pool t1 + t2 like the
+    reference's concatenated prediction list."""
+    x1 = wire_to_nhwc(x1p).astype(jnp.float32)
+    x2 = wire_to_nhwc(x2p).astype(jnp.float32)
+    variables = {"params": params, "batch_stats": batch_stats}
+    change, sem1, sem2, change_sem = (
+        p[..., 0] for p in _dualtask_forward.__wrapped__(
+            model, variables, x1, x2))
+
+    def scene(c, cs, s1, s2, y, y1, y2, v):
+        t1 = strict_confusion_counts(y1, s1, v)
+        t2 = strict_confusion_counts(y2, s2, v)
+        return {
+            "change": strict_confusion_counts(y, c, v),
+            "change_sem": strict_confusion_counts(y, cs, v),
+            "sem": tuple(a + b for a, b in zip(t1, t2)),
+        }
+
+    return _jax.vmap(scene)(change, change_sem, sem1, sem2,
+                            ych, ysem1, ysem2, valid)
+
+
+def dualtask_quantitative_counts(model, state, ds,
+                                 bucket: int = EVAL_BUCKET) -> dict | None:
+    """Streaming pooled confusion counts for the dual-task offline
+    assessment — the fused fast path behind assessment_semantics.py's
+    quantitative protocol. Groups scenes by padded shape (same policy as
+    :func:`_measure_wired`), keeps one group in flight, and accumulates the
+    per-scene device counts in float64 on host.
+
+    Returns ``{'change'|'change_sem'|'sem': (tp, fp, fn)}`` float64 pooled
+    over the split, or None when the wire fast path is unavailable
+    (cache-disabled or augmentation-mode dataset) — callers fall back to
+    the reference-shaped pooled-pixel protocol, which materializes every
+    probability raster on host (memory grows with the split; this path is
+    O(1))."""
+    if not (getattr(ds, "eval_wire", None) is not None
+            and getattr(ds, "cache", None) is not None and ds.cache.enabled
+            and getattr(ds, "no_augmentations", False)):
+        return None
+    totals = {k: np.zeros(3, np.float64)
+              for k in ("change", "change_sem", "sem")}
+    pending: dict = {}
+    inflight: list = []
+
+    def consume() -> None:
+        blocks = inflight.pop(0)
+        for k, t in blocks.items():
+            totals[k] += np.array([np.asarray(a, np.float64).sum()
+                                   for a in t])
+
+    def dispatch(group: list) -> None:
+        arrs = {k: np.stack([g[k] for g in group])
+                for k in ("x1", "x2", "y", "ysem1", "ysem2", "valid")}
+        if inflight:  # bound device residency to one group + one staged
+            consume()
+        inflight.append(_dualtask_wire_counts_jit(
+            model, state.params, state.batch_stats, arrs["x1"], arrs["x2"],
+            arrs["y"], arrs["ysem1"], arrs["ysem2"], arrs["valid"]))
+
+    for i in range(len(ds)):
+        wire = ds.eval_wire(i, bucket, sem=True)
+        group = pending.setdefault(wire["x1"].shape, [])
+        group.append(wire)
+        if len(group) >= eval_group_limit(wire["x1"].shape[1:]):
+            dispatch(group)  # consumes synchronously (np.stack copies)
+            group.clear()
+    for group in pending.values():
+        if group:
+            dispatch(group)
+    while inflight:
+        consume()
+    return {k: tuple(v) for k, v in totals.items()}

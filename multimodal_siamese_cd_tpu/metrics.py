@@ -190,3 +190,32 @@ def f1_score_from_prob(y_prob: np.ndarray, y_true: np.ndarray,
 
 def root_mean_square_error(y_pred: np.ndarray, y_true: np.ndarray):
     return np.sqrt(np.sum(np.square(y_pred - y_true)) / np.size(y_true))
+
+
+def strict_confusion_counts(y_true, y_prob, valid=None, threshold=0.5):
+    """Jit/vmap-friendly ``(tp, fp, fn)`` at one threshold with the offline
+    protocol's STRICT comparison (``pred = prob > thr``, ``gt = label >
+    0.5``) — the ``*_from_prob`` semantics above, NOT
+    :func:`confusion_at_thresholds`' round-offset parity with the torch
+    training metric. Used by the fused dual-task assessment path."""
+    t = jnp.asarray(y_true).reshape(-1) > 0.5
+    pred = jnp.asarray(y_prob).reshape(-1) > threshold
+    if valid is None:
+        v = jnp.ones(t.shape, jnp.float32)
+    else:
+        v = jnp.asarray(valid, jnp.float32).reshape(-1)
+    tp = jnp.sum((t & pred) * v)
+    fp = jnp.sum((~t & pred) * v)
+    fn = jnp.sum((t & ~pred) * v)
+    return tp, fp, fn
+
+
+def prob_metrics_from_counts(tp, fp, fn):
+    """``(f1, precision, recall)`` from pooled strict-threshold confusion
+    counts — the exact composition of the ``*_from_prob`` functions over
+    pixel-pooled arrays: thresholding-then-summing commutes with pooling,
+    so streaming count accumulation reproduces the reference's pooled-pixel
+    protocol (same float64 divisions, same unclamped denominators)."""
+    p = tp / (tp + fp)
+    r = tp / (tp + fn)
+    return 2 * (p * r) / (p + r), p, r

@@ -333,6 +333,72 @@ def test_wired_eval_multihead_and_pad_exact_modes(cfg):
                 np.asarray(getattr(ref, k), np.float64), err_msg=f"{k}@{bucket}")
 
 
+def test_dualtask_counts_match_pooled_pixel_protocol(cfg):
+    """The fused dual-task assessment path (streaming on-device confusion,
+    evaluation.dualtask_quantitative_counts) must reproduce the reference's
+    pooled-pixel protocol: concatenate every scene's probability rasters,
+    threshold strictly at 0.5, sum. Counts may differ by the batched-vs-
+    batch-1 forward's LSB wobble only (same tolerance as
+    test_batched_eval_matches_per_scene)."""
+    from multimodal_siamese_cd_tpu.metrics import (
+        false_negatives_from_prob, false_positives_from_prob,
+        prob_metrics_from_counts, true_positives_from_prob)
+
+    cfg.MODEL.TYPE = "dtsiameseunet"
+    cfg.DATALOADER.INCLUDE_BUILDING_LABELS = True
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    ds = MultimodalCDDataset(cfg, "validation", no_augmentations=True,
+                             dataset_mode="first_last", disable_multiplier=True,
+                             disable_unlabeled=True)
+    counts = evaluation.dualtask_quantitative_counts(model, state, ds)
+    assert counts is not None
+
+    # Reference-shaped pooled protocol (assessment_semantics.py fallback)
+    pools = {"change": [], "change_sem": [], "sem": []}
+    gts = {"change": [], "sem": []}
+    for i in range(len(ds)):
+        item = ds[i]
+        out = evaluation.dualtask_scene_outputs(model, state, item)
+        pools["change"].append(out["change"].ravel())
+        pools["change_sem"].append(out["change_sem"].ravel())
+        pools["sem"].extend([out["sem_t1"].ravel(), out["sem_t2"].ravel()])
+        gts["change"].append(item["y_change"].ravel())
+        gts["sem"].extend([item["y_sem_t1"].ravel(), item["y_sem_t2"].ravel()])
+    y_change = np.concatenate(gts["change"]) > 0.5
+    y_sem = np.concatenate(gts["sem"]) > 0.5
+    for key, y in (("change", y_change), ("change_sem", y_change),
+                   ("sem", y_sem)):
+        prob = np.concatenate(pools[key])
+        ref = (true_positives_from_prob(prob, y),
+               false_positives_from_prob(prob, y),
+               false_negatives_from_prob(prob, y))
+        np.testing.assert_allclose(np.asarray(counts[key]),
+                                   np.asarray(ref, np.float64),
+                                   atol=1.0, err_msg=key)
+        # exact-count case: the metric triple matches *_from_prob bit-wise
+        if np.array_equal(np.asarray(counts[key]), np.asarray(ref)):
+            f1, p, r = prob_metrics_from_counts(*ref)
+            sf1, sp, sr = prob_metrics_from_counts(*counts[key])
+            assert (f1, p, r) == (sf1, sp, sr)
+
+
+def test_eval_wire_sem_planes_match_items(cfg):
+    """sem=True wires must carry exactly the item path's building rasters."""
+    cfg.DATALOADER.INCLUDE_BUILDING_LABELS = True
+    ds = MultimodalCDDataset(cfg, "validation", no_augmentations=True,
+                             dataset_mode="first_last", disable_multiplier=True,
+                             disable_unlabeled=True)
+    for i in range(len(ds)):
+        w = ds.eval_wire(i, sem=True)
+        item = ds[i]
+        h, wd = item["x_t1"].shape[:2]
+        for wk, ik in (("ysem1", "y_sem_t1"), ("ysem2", "y_sem_t2")):
+            np.testing.assert_array_equal(
+                w[wk][:h, :wd].astype(np.float32), item[ik][..., 0],
+                err_msg=wk)
+            assert not w[wk][h:].any() and not w[wk][:, wd:].any()
+
+
 def test_run_measurer_streams_buckets(cfg, monkeypatch):
     """run_measurer must evaluate each shape bucket as it fills instead of
     materializing every padded scene before the first forward (the round-1
