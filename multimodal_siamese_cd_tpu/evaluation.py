@@ -115,13 +115,29 @@ def _eval_wire_counts_jit(model, params, batch_stats, x1p, x2p, y, valid,
     return _jax.vmap(scene_counts)(probs[..., 0], y, valid)
 
 
+def _shard_group(arrs: tuple, mesh) -> tuple:
+    """Pad a stacked scene group to a multiple of the mesh size with
+    all-zero scenes (``valid`` is zero there, so their confusion counts are
+    exactly zero — eval has no cross-sample coupling, BN runs on stored
+    stats) and commit the batch axis sharded over the data mesh. GSPMD then
+    splits every forward across devices; counts come back per-scene."""
+    from .parallel.mesh import batch_sharding
+    pad = -arrs[0].shape[0] % mesh.size
+    if pad:
+        arrs = tuple(np.concatenate(
+            [a, np.zeros((pad, *a.shape[1:]), a.dtype)]) for a in arrs)
+    return tuple(_jax.device_put(list(arrs), batch_sharding(mesh)))
+
+
 def _measure_wired(model, state, ds, measurer,
-                   bucket: int) -> MultiThresholdMetric:
+                   bucket: int, mesh=None) -> MultiThresholdMetric:
     """Streaming group evaluation over ``ds.eval_wire`` wires with ONE
     group in flight: while the device runs group N, the host assembles
     group N+1 (the fetch of N's counts is a tiny RTT). Accumulation order
     is identical to the sequential path — groups are consumed in dispatch
-    order."""
+    order. With a multi-device ``mesh``, each group's batch axis is sharded
+    over the data mesh (:func:`_shard_group`) — full-scene eval scales
+    linearly with devices."""
     thr = np.asarray(measurer.thresholds)
     pending: dict = {}
     inflight: list = []
@@ -132,10 +148,11 @@ def _measure_wired(model, state, ds, measurer,
                               for a in counts))
 
     def dispatch(group: list) -> None:
-        x1 = np.stack([g['x1'] for g in group])
-        x2 = np.stack([g['x2'] for g in group])
-        y = np.stack([g['y'] for g in group])
-        valid = np.stack([g['valid'] for g in group])
+        arrs = tuple(np.stack([g[k] for g in group])
+                     for k in ('x1', 'x2', 'y', 'valid'))
+        if mesh is not None and mesh.size > 1:
+            arrs = _shard_group(arrs, mesh)
+        x1, x2, y, valid = arrs
         if inflight:  # bound device residency to one group + one staged
             consume()
         inflight.append(_eval_wire_counts_jit(
@@ -159,7 +176,7 @@ def _measure_wired(model, state, ds, measurer,
 
 def run_measurer(model, state, ds, thresholds,
                  batch_scenes: bool = True,
-                 bucket: int = EVAL_BUCKET) -> MultiThresholdMetric:
+                 bucket: int = EVAL_BUCKET, mesh=None) -> MultiThresholdMetric:
     """Full-scene confusion accumulation over a dataset.
 
     Scenes are padded to bucketed shapes; scenes sharing a bucket are
@@ -175,7 +192,7 @@ def run_measurer(model, state, ds, thresholds,
     if batch_scenes and getattr(ds, 'eval_wire', None) is not None \
             and getattr(ds, 'cache', None) is not None and ds.cache.enabled \
             and getattr(ds, 'no_augmentations', False):
-        return _measure_wired(model, state, ds, measurer, bucket)
+        return _measure_wired(model, state, ds, measurer, bucket, mesh)
 
     def flush(chunk: list) -> None:
         x1 = np.stack([s[0] for s in chunk])
@@ -220,15 +237,17 @@ def _summarize(measurer: MultiThresholdMetric):
 
 
 def model_evaluation(model, state, cfg, run_type: str, epoch: float,
-                     step: int) -> float:
+                     step: int, mesh=None) -> float:
     """In-training eval + logging (reference evaluation.py:7-41).
-    Returns the best F1."""
+    Returns the best F1. ``mesh``: the trainer's data mesh — multi-device
+    meshes shard eval scene groups over devices (see _measure_wired)."""
     thresholds = np.linspace(0.5, 1, 1)
     ds = MultimodalCDDataset(cfg, run_type, no_augmentations=True,
                              dataset_mode='first_last', disable_multiplier=True,
                              disable_unlabeled=True)
     bucket = int(cfg.TRAINER.get('EVAL_PAD_MULTIPLE', EVAL_BUCKET))
-    measurer = run_measurer(model, state, ds, thresholds, bucket=bucket)
+    measurer = run_measurer(model, state, ds, thresholds, bucket=bucket,
+                            mesh=mesh)
     f1, precision, recall = _summarize(measurer)
     wandb_compat.log({
         f'{run_type} F1': f1,
@@ -336,8 +355,8 @@ def _dualtask_wire_counts_jit(model, params, batch_stats, x1p, x2p,
                             ych, ysem1, ysem2, valid)
 
 
-def dualtask_quantitative_counts(model, state, ds,
-                                 bucket: int = EVAL_BUCKET) -> dict | None:
+def dualtask_quantitative_counts(model, state, ds, bucket: int = EVAL_BUCKET,
+                                 mesh=None) -> dict | None:
     """Streaming pooled confusion counts for the dual-task offline
     assessment — the fused fast path behind assessment_semantics.py's
     quantitative protocol. Groups scenes by padded shape (same policy as
@@ -366,13 +385,14 @@ def dualtask_quantitative_counts(model, state, ds,
                                    for a in t])
 
     def dispatch(group: list) -> None:
-        arrs = {k: np.stack([g[k] for g in group])
-                for k in ("x1", "x2", "y", "ysem1", "ysem2", "valid")}
+        arrs = tuple(np.stack([g[k] for g in group])
+                     for k in ("x1", "x2", "y", "ysem1", "ysem2", "valid"))
+        if mesh is not None and mesh.size > 1:
+            arrs = _shard_group(arrs, mesh)
         if inflight:  # bound device residency to one group + one staged
             consume()
         inflight.append(_dualtask_wire_counts_jit(
-            model, state.params, state.batch_stats, arrs["x1"], arrs["x2"],
-            arrs["y"], arrs["ysem1"], arrs["ysem2"], arrs["valid"]))
+            model, state.params, state.batch_stats, *arrs))
 
     for i in range(len(ds)):
         wire = ds.eval_wire(i, bucket, sem=True)

@@ -324,15 +324,18 @@ def run_training(cfg, regime: str) -> None:
             if cfg.DEBUG:
                 if spec['debug_test_eval']:
                     evaluation.model_evaluation(model, state, cfg, 'test',
-                                                epoch_float, global_step)
+                                                epoch_float, global_step,
+                                                mesh=mesh)
                 break
 
             if global_step % cfg.LOG_FREQ == 0:
                 print(f'Logging step {global_step} (epoch {epoch_float:.2f}).')
                 evaluation.model_evaluation(model, state, cfg, 'training',
-                                            epoch_float, global_step)
+                                            epoch_float, global_step,
+                                            mesh=mesh)
                 evaluation.model_evaluation(model, state, cfg, 'validation',
-                                            epoch_float, global_step)
+                                            epoch_float, global_step,
+                                            mesh=mesh)
                 time = timeit.default_timer() - start
                 wandb_compat.log({
                     **_window_summary(regime, sets, label_counts),
@@ -347,9 +350,9 @@ def run_training(cfg, regime: str) -> None:
         if not cfg.DEBUG and start_step % steps_per_epoch == 0:
             assert epoch == epoch_float
         print(f'epoch float {epoch_float} (step {global_step}) - epoch {epoch}')
-        evaluation.model_evaluation(model, state, cfg, 'training', epoch_float, global_step)
-        evaluation.model_evaluation(model, state, cfg, 'validation', epoch_float, global_step)
-        evaluation.model_evaluation(model, state, cfg, 'test', epoch_float, global_step)
+        evaluation.model_evaluation(model, state, cfg, 'training', epoch_float, global_step, mesh=mesh)
+        evaluation.model_evaluation(model, state, cfg, 'validation', epoch_float, global_step, mesh=mesh)
+        evaluation.model_evaluation(model, state, cfg, 'test', epoch_float, global_step, mesh=mesh)
 
         if epoch in save_checkpoints and (spec['ckpt_in_debug'] or not cfg.DEBUG):
             print('saving network', flush=True)

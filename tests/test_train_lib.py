@@ -333,6 +333,43 @@ def test_wired_eval_multihead_and_pad_exact_modes(cfg):
                 np.asarray(getattr(ref, k), np.float64), err_msg=f"{k}@{bucket}")
 
 
+def test_wired_eval_mesh_sharded_matches_single_device(cfg):
+    """Fused eval with the group batch axis sharded over the 8-device
+    virtual mesh (including zero-valid padding up to a mesh multiple — the
+    fixture split is smaller than the mesh) must reproduce single-device
+    confusion counts."""
+    cfg.MODEL.TYPE = "siameseunet"
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    ds = MultimodalCDDataset(cfg, "validation", no_augmentations=True,
+                             dataset_mode="first_last", disable_multiplier=True,
+                             disable_unlabeled=True)
+    mesh = data_mesh()
+    assert mesh.size > 1
+    sharded = evaluation.run_measurer(model, state, ds, np.array([0.5]),
+                                      mesh=mesh)
+    single = evaluation.run_measurer(model, state, ds, np.array([0.5]))
+    for k in ("TP", "TN", "FP", "FN"):
+        np.testing.assert_allclose(np.asarray(getattr(sharded, k)),
+                                   np.asarray(getattr(single, k)),
+                                   atol=1.0, err_msg=k)
+
+
+def test_dualtask_counts_mesh_sharded_matches_single_device(cfg):
+    cfg.MODEL.TYPE = "dtsiameseunet"
+    cfg.DATALOADER.INCLUDE_BUILDING_LABELS = True
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    ds = MultimodalCDDataset(cfg, "validation", no_augmentations=True,
+                             dataset_mode="first_last", disable_multiplier=True,
+                             disable_unlabeled=True)
+    sharded = evaluation.dualtask_quantitative_counts(model, state, ds,
+                                                      mesh=data_mesh())
+    single = evaluation.dualtask_quantitative_counts(model, state, ds)
+    for key in ("change", "change_sem", "sem"):
+        np.testing.assert_allclose(np.asarray(sharded[key]),
+                                   np.asarray(single[key]),
+                                   atol=1.0, err_msg=key)
+
+
 def test_dualtask_counts_match_pooled_pixel_protocol(cfg):
     """The fused dual-task assessment path (streaming on-device confusion,
     evaluation.dualtask_quantitative_counts) must reproduce the reference's
