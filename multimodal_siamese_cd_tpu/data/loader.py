@@ -229,6 +229,10 @@ def prefetch_to_device(iterator: Iterable[dict], size: int = 2,
     transfer genuinely overlaps device execution even when device_put blocks
     (as it does on remote-attached TPUs, where the transfer link — not the
     chip — can be the bottleneck).
+
+    ``sharding`` may be one sharding for every key, or a ``{key: sharding}``
+    dict for rank-dependent layouts (a 2-D data×space mesh shards the wire
+    stack's height axis but only the batch axis of ``is_labeled``).
     """
     import queue
     import threading
@@ -239,7 +243,8 @@ def prefetch_to_device(iterator: Iterable[dict], size: int = 2,
         out = {}
         for k, v in batch.items():
             if k in keys and isinstance(v, np.ndarray):
-                out[k] = jax.device_put(v, sharding) if sharding is not None \
+                sh = sharding.get(k) if isinstance(sharding, dict) else sharding
+                out[k] = jax.device_put(v, sh) if sh is not None \
                     else jax.device_put(v)
             else:
                 out[k] = v

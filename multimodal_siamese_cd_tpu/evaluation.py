@@ -116,17 +116,29 @@ def _eval_wire_counts_jit(model, params, batch_stats, x1p, x2p, y, valid,
 
 
 def _shard_group(arrs: tuple, mesh) -> tuple:
-    """Pad a stacked scene group to a multiple of the mesh size with
+    """Pad a stacked scene group to a multiple of the mesh's data axis with
     all-zero scenes (``valid`` is zero there, so their confusion counts are
     exactly zero — eval has no cross-sample coupling, BN runs on stored
     stats) and commit the batch axis sharded over the data mesh. GSPMD then
-    splits every forward across devices; counts come back per-scene."""
-    from .parallel.mesh import batch_sharding
-    pad = -arrs[0].shape[0] % mesh.size
+    splits every forward across devices; counts come back per-scene. On a
+    2-D (data, space) mesh the padded scene HEIGHT is additionally sharded
+    over ``space`` (bucket padding is a 64-multiple, so meshes up to 64-way
+    spatial divide evenly)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .parallel.mesh import (DATA_AXIS, SPACE_AXIS, data_axis_size,
+                                wire_sharding)
+    pad = -arrs[0].shape[0] % data_axis_size(mesh)
     if pad:
         arrs = tuple(np.concatenate(
             [a, np.zeros((pad, *a.shape[1:]), a.dtype)]) for a in arrs)
-    return tuple(_jax.device_put(list(arrs), batch_sharding(mesh)))
+    spatial = SPACE_AXIS in mesh.axis_names \
+        and arrs[0].shape[2] % mesh.shape[SPACE_AXIS] == 0
+    plane_sh = NamedSharding(
+        mesh, P(DATA_AXIS, SPACE_AXIS if spatial else None))
+    return tuple(_jax.device_put(
+        a, wire_sharding(mesh) if (a.ndim == 4 and spatial) else plane_sh)
+        for a in arrs)
 
 
 def _measure_wired(model, state, ds, measurer,

@@ -3,7 +3,11 @@
 from .distributed import maybe_initialize_distributed, process_shard  # noqa: F401
 from .mesh import (  # noqa: F401
     batch_sharding,
+    data_axis_size,
     data_mesh,
+    data_space_mesh,
     replicated_sharding,
     shard_batch_size,
+    space_axis_size,
+    wire_sharding,
 )

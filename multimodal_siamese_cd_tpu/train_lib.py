@@ -184,14 +184,19 @@ def _apply_train(model, params, batch_stats, x_t1, x_t2, rng, bn_groups=1):
 def bn_group_count(cfg, mesh) -> int:
     """Resolve MODEL.SYNC_BN into the per-replica group count for
     ``_apply_train``: 1 (sync-BN, default) or the mesh size."""
+    from .parallel.mesh import data_axis_size
+
     sync = cfg.MODEL.get("SYNC_BN", True)
     if sync or mesh is None or mesh.size <= 1:
         return 1
-    if cfg.TRAINER.BATCH_SIZE % mesh.size:
+    n = data_axis_size(mesh)  # per-replica == per data-axis column; a 2-D
+    if n <= 1:                # (data, space) mesh's space shards share stats
+        return 1
+    if cfg.TRAINER.BATCH_SIZE % n:
         raise ValueError(
             f"MODEL.SYNC_BN: False needs TRAINER.BATCH_SIZE "
-            f"({cfg.TRAINER.BATCH_SIZE}) divisible by the {mesh.size}-device mesh")
-    return mesh.size
+            f"({cfg.TRAINER.BATCH_SIZE}) divisible by the {n}-device mesh")
+    return n
 
 
 # --------------------------------------------------------------------------
@@ -201,19 +206,22 @@ def bn_group_count(cfg, mesh) -> int:
 def _jit_step(fn, mesh, batch_ndim: int = 1):
     """Jit a step body with data-parallel shardings. ``batch_ndim`` 1 shards
     the leading axis of stack/is_labeled; 2 shards their second axis (the
-    scanned multi-batch layout (K, B, ...))."""
+    scanned multi-batch layout (K, B, ...)). On a 2-D ``(data, space)`` mesh
+    the wire stack's height axis is additionally sharded over ``space``
+    (GSPMD conv halo exchange + cross-space BN reductions)."""
     if mesh is None:
         return jax.jit(fn, donate_argnums=(0,))
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from .parallel.mesh import DATA_AXIS
+    from .parallel.mesh import DATA_AXIS, wire_sharding
 
     rep = replicated_sharding(mesh)
-    spec = P(DATA_AXIS) if batch_ndim == 1 else P(None, DATA_AXIS)
-    bsh = NamedSharding(mesh, spec)
+    stack_sh = wire_sharding(mesh, scanned=batch_ndim == 2)
+    lab_spec = P(DATA_AXIS) if batch_ndim == 1 else P(None, DATA_AXIS)
+    lab_sh = NamedSharding(mesh, lab_spec)
     return jax.jit(
         fn, donate_argnums=(0,),
-        in_shardings=(rep, bsh, bsh, rep),
+        in_shardings=(rep, stack_sh, lab_sh, rep),
         out_shardings=(rep, rep),
     )
 

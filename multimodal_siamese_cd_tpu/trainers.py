@@ -47,6 +47,23 @@ def print_run_config(cfg, device_desc: str) -> None:
 
 def _training_mesh(cfg):
     maybe_initialize_distributed()
+    n_space = int(cfg.TRAINER.get('SPATIAL_SHARDS', 1))
+    if n_space > 1:
+        # 2-D (data, space) mesh: height-sharded training for crops that
+        # exceed a chip (the train-side analog of sharded_scene_probabilities)
+        from .parallel import data_space_mesh
+
+        try:
+            mesh = data_space_mesh(n_space)
+        except ValueError:
+            mesh = None
+        if mesh is not None \
+                and cfg.TRAINER.BATCH_SIZE % (mesh.size // n_space) == 0 \
+                and cfg.AUGMENTATION.CROP_SIZE % n_space == 0:
+            return mesh
+        print(f"warning: device count / batch {cfg.TRAINER.BATCH_SIZE} / "
+              f"crop {cfg.AUGMENTATION.CROP_SIZE} incompatible with "
+              f"SPATIAL_SHARDS={n_space}; falling back to data-parallel")
     mesh = data_mesh()
     if cfg.TRAINER.BATCH_SIZE % mesh.size != 0:
         print(f"warning: batch {cfg.TRAINER.BATCH_SIZE} not divisible by "
@@ -184,11 +201,17 @@ def _execution_plan(cfg, model, regime, mesh, loader):
                   f'steps/epoch={len(loader)} or LOG_FREQ={cfg.LOG_FREQ}; '
                   f'using 1')
             k = 1
+    from .parallel.mesh import wire_sharding
+
     if k <= 1:
+        sharding = {"stack": wire_sharding(mesh),
+                    "is_labeled": batch_sharding(mesh)}
         return 1, train_lib.make_train_step(model, cfg, regime, mesh=mesh), \
-            batch_sharding(mesh)
+            sharding
     step_fn = train_lib.make_scanned_train_step(model, cfg, regime, mesh=mesh)
-    return k, step_fn, NamedSharding(mesh, P(None, DATA_AXIS))
+    sharding = {"stack": wire_sharding(mesh, scanned=True),
+                "is_labeled": NamedSharding(mesh, P(None, DATA_AXIS))}
+    return k, step_fn, sharding
 
 
 def _batch_stream(cfg, loader, k, sharding):

@@ -151,6 +151,62 @@ def test_mesh_step_matches_single_device(cfg):
                                    rtol=1e-3, atol=1e-5)
 
 
+def test_data_space_mesh_step_matches_single_device(cfg):
+    """2-D (data, space) mesh — batch over 'data', crop HEIGHT over 'space'
+    (GSPMD conv halo exchange + cross-space BN reductions) — must reproduce
+    the single-device step to reduction-order tolerance."""
+    from multimodal_siamese_cd_tpu.parallel import data_space_mesh, wire_sharding
+
+    cfg.MODEL.TYPE = "siameseunet"
+    cfg.TRAINER.BATCH_SIZE = 4
+    batch = make_batch(cfg)
+
+    model, state1 = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    step1 = train_lib.make_train_step(model, cfg, "supervised", mesh=None)
+    rng = jax.random.PRNGKey(3)
+    state1, m1 = step1(state1, batch["stack"], batch["is_labeled"], rng)
+
+    mesh = data_space_mesh(4)  # 8 virtual devices -> (data 2, space 4)
+    assert mesh.shape == {"data": 2, "space": 4}
+    assert batch["stack"].shape[2] % 4 == 0  # 32px crop heights over space
+    _, state2 = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    step2 = train_lib.make_train_step(model, cfg, "supervised", mesh=mesh)
+    stack = jax.device_put(batch["stack"], wire_sharding(mesh))
+    state2, m2 = step2(state2, stack, batch["is_labeled"], rng)
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(state1.batch_stats),
+                    jax.tree_util.tree_leaves(state2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_spatial_shards_trainer_end_to_end(cfg):
+    """TRAINER.SPATIAL_SHARDS drives a full DEBUG training run on the 2-D
+    mesh through the shipped trainer (loader -> dict-sharded prefetch ->
+    height-sharded step -> eval)."""
+    from multimodal_siamese_cd_tpu import trainers, wandb_compat
+
+    cfg.MODEL.TYPE = "siameseunet"
+    cfg.TRAINER.BATCH_SIZE = 4
+    cfg.TRAINER.SPATIAL_SHARDS = 4
+    mesh = trainers._training_mesh(cfg)
+    assert mesh.axis_names == ("data", "space")
+    wandb_compat.init(cfg.NAME, mode="disabled", out_dir=cfg.PATHS.OUTPUT)
+    try:
+        trainers.run_supervised(cfg)
+    finally:
+        wandb_compat.finish()
+
+
+def test_spatial_shards_incompatible_falls_back(cfg, capsys):
+    from multimodal_siamese_cd_tpu import trainers
+
+    cfg.TRAINER.SPATIAL_SHARDS = 3  # 8 devices % 3 != 0 via crop 32 % 3 != 0
+    mesh = trainers._training_mesh(cfg)
+    assert mesh.axis_names == ("data",)
+
+
 def test_checkpoint_roundtrip(cfg):
     cfg.MODEL.TYPE = "siameseunet"
     state, _, _ = run_steps(cfg, "supervised", n_steps=2)[0], None, None
