@@ -34,6 +34,14 @@ def main() -> int:
                              "(predict_batch amortizes dispatch like eval's "
                              "group-of-8 batching)")
     args = parser.parse_args()
+    if args.platforms:
+        # Explicit target platforms: jax.export lowers for them from ANY
+        # backend, so run the whole tool on the host CPU — an export box
+        # need not have (or wait for) an attached TPU. Without --platforms
+        # the bundle targets the local backend's platform, which must init.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     cfg = setup_cfg(args)
 
     epoch = args.epoch if args.epoch is not None else cfg.INFERENCE_CHECKPOINT
