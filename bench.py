@@ -26,7 +26,9 @@ Prints ONE JSON line:
 
 import argparse
 import json
+import os
 import sys
+import threading
 import time
 
 import jax
@@ -42,6 +44,25 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 TORCH_REFERENCE_PATCHES_PER_SEC = 0.177
 
 from multimodal_siamese_cd_tpu.train_lib import REGIME_MODELS
+
+
+def _arm_wedge_watchdog(seconds: float) -> threading.Event:
+    """A wedged remote-TPU tunnel hangs backend-client creation forever
+    (observed: a trivial dispatch stuck >10 min while the healthy path is
+    ~100 s warmup + ~3-5 min first compile). Exit loudly instead of hanging
+    the driver: if the first synchronized step hasn't completed within
+    ``seconds``, dump a diagnostic and die. Returns the disarm event."""
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(seconds):
+            print(f"BENCH WEDGED: no completed device step after {seconds:.0f}s"
+                  " — accelerator backend unreachable (tunnel down?);"
+                  " aborting instead of hanging", file=sys.stderr, flush=True)
+            os._exit(2)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done
 
 
 def build_batches(k: int, batch_size: int, crop: int, rng: np.random.Generator):
@@ -125,6 +146,10 @@ def main() -> int:
     p.add_argument("--precision", default="bf16")
     p.add_argument("--regime", default=None, choices=list(REGIME_MODELS),
                    help="measure one regime only (default: all three)")
+    p.add_argument("--wedge-timeout", type=float, default=1500.0,
+                   help="abort if no device step completes within this many "
+                        "seconds (wedged-tunnel guard; healthy worst case is "
+                        "~100s warmup + ~5 min first compile)")
     p.add_argument("--assert-min", type=float, default=None,
                    help="exit 1 if the primary patches/sec/chip falls below "
                         "this (regression guard; round-2 HEAD: supervised "
@@ -137,10 +162,12 @@ def main() -> int:
         p.error("--model requires --regime")
 
     regimes = [args.regime] if args.regime else list(REGIME_MODELS)
+    watchdog_disarm = _arm_wedge_watchdog(args.wedge_timeout)
     results = {}
     for regime in regimes:
         model_type = args.model or REGIME_MODELS[regime]
         results[regime] = run_regime(args, regime, model_type)
+        watchdog_disarm.set()  # first regime synced — the backend is alive
 
     primary = regimes[0]
     per_chip = results[primary]["value"]
