@@ -46,23 +46,28 @@ TORCH_REFERENCE_PATCHES_PER_SEC = 0.177
 from multimodal_siamese_cd_tpu.train_lib import REGIME_MODELS
 
 
-def _arm_wedge_watchdog(seconds: float) -> threading.Event:
+# Set by run_regime at its first synchronized warmup fetch — the earliest
+# proof the accelerator backend is alive (backend init + first compile +
+# one full scanned call all completed).
+_FIRST_SYNC = threading.Event()
+
+
+def _arm_wedge_watchdog(seconds: float) -> None:
     """A wedged remote-TPU tunnel hangs backend-client creation forever
     (observed: a trivial dispatch stuck >10 min while the healthy path is
     ~100 s warmup + ~3-5 min first compile). Exit loudly instead of hanging
-    the driver: if the first synchronized step hasn't completed within
-    ``seconds``, dump a diagnostic and die. Returns the disarm event."""
-    done = threading.Event()
-
+    the driver: if the first synchronized warmup fetch (``_FIRST_SYNC``)
+    hasn't happened within ``seconds``, dump a diagnostic and die. The
+    timed measurement loop runs after the disarm point, so a healthy but
+    slow rig (e.g. a CPU-backend smoke run) is never killed."""
     def watch():
-        if not done.wait(seconds):
+        if not _FIRST_SYNC.wait(seconds):
             print(f"BENCH WEDGED: no completed device step after {seconds:.0f}s"
                   " — accelerator backend unreachable (tunnel down?);"
                   " aborting instead of hanging", file=sys.stderr, flush=True)
             os._exit(2)
 
     threading.Thread(target=watch, daemon=True).start()
-    return done
 
 
 def build_batches(k: int, batch_size: int, crop: int, rng: np.random.Generator):
@@ -105,6 +110,7 @@ def run_regime(args, regime: str, model_type: str) -> dict:
     for _ in range(max(1, args.warmup_calls)):
         state, m = step_fn(state, stacks, is_labeled, rng)
     float(m["loss"])  # host fetch = true synchronization
+    _FIRST_SYNC.set()  # backend alive — disarm the wedge watchdog
 
     # Dispatch all calls back-to-back and fetch ONCE at the end: the calls
     # chain through `state`, so the fetched loss existing implies every step
@@ -162,12 +168,11 @@ def main() -> int:
         p.error("--model requires --regime")
 
     regimes = [args.regime] if args.regime else list(REGIME_MODELS)
-    watchdog_disarm = _arm_wedge_watchdog(args.wedge_timeout)
+    _arm_wedge_watchdog(args.wedge_timeout)
     results = {}
     for regime in regimes:
         model_type = args.model or REGIME_MODELS[regime]
         results[regime] = run_regime(args, regime, model_type)
-        watchdog_disarm.set()  # first regime synced — the backend is alive
 
     primary = regimes[0]
     per_chip = results[primary]["value"]

@@ -96,10 +96,13 @@ def _eval_wire_counts_jit(model, params, batch_stats, x1p, x2p, y, valid,
     uint8 label/valid planes; the transpose to NHWC and the float32 upcast
     happen on device (free layout/convert ops XLA folds into the first
     convolution), so the graph sees exactly what :func:`eval_forward` sees
-    on float32 items. Confusion is vmapped PER SCENE so each count stays
-    within float32's exact-integer range regardless of group size; callers
-    accumulate across scenes in float64 on host
-    (:meth:`MultiThresholdMetric.add_counts`).
+    on float32 items. Confusion is vmapped PER SCENE so group size never
+    degrades count exactness; callers accumulate across scenes in float64
+    on host (:meth:`MultiThresholdMetric.add_counts`). The per-scene sums
+    themselves run in float32 on device, so exactness holds up to 2^24
+    valid pixels per single scene (~4096x4096) — the same envelope as the
+    item path's float32 ``add_sample`` reductions; SpaceNet7 scenes are
+    ~1024^2.
 
     Replaces the per-scene eager-jnp confusion the measurer used to run
     (≈10 dispatches + 8 MB of label/mask upload per scene, serialized with
@@ -141,41 +144,44 @@ def _shard_group(arrs: tuple, mesh) -> tuple:
         for a in arrs)
 
 
-def _measure_wired(model, state, ds, measurer,
-                   bucket: int, mesh=None) -> MultiThresholdMetric:
-    """Streaming group evaluation over ``ds.eval_wire`` wires with ONE
-    group in flight: while the device runs group N, the host assembles
-    group N+1 (the fetch of N's counts is a tiny RTT). Accumulation order
-    is identical to the sequential path — groups are consumed in dispatch
-    order. With a multi-device ``mesh``, each group's batch axis is sharded
-    over the data mesh (:func:`_shard_group`) — full-scene eval scales
-    linearly with devices."""
-    thr = np.asarray(measurer.thresholds)
+def _stream_wire_groups(ds, bucket: int, keys: tuple, run_group, accumulate,
+                        mesh=None, wire_kwargs: dict | None = None,
+                        group_scale: int = 1) -> None:
+    """The ONE streaming-group engine behind both fused eval paths
+    (:func:`_measure_wired`, :func:`dualtask_quantitative_counts`): group
+    ``ds.eval_wire`` wires by padded shape, dispatch a filled group the
+    moment it fills, keep ONE group in flight — while the device runs
+    group N the host assembles group N+1 (the count fetch is a tiny RTT) —
+    then flush the tails. Accumulation order is identical to a sequential
+    loop (groups are consumed in dispatch order). With a multi-device
+    ``mesh``, each group's batch axis is sharded over the data mesh
+    (:func:`_shard_group`), so full-scene eval scales with devices.
+
+    ``run_group(arrs)`` dispatches one stacked group and returns the device
+    result; ``accumulate(result)`` fetches + folds it on host (float64).
+    ``group_scale`` divides :func:`eval_group_limit`'s memory envelope for
+    dispatches that hold more live bytes per scene than the plain
+    change-head forward the envelope was measured on."""
     pending: dict = {}
     inflight: list = []
 
     def consume() -> None:
-        counts = inflight.pop(0)
-        measurer.add_counts(*(np.asarray(a, np.float64).sum(axis=0)
-                              for a in counts))
+        accumulate(inflight.pop(0))
 
     def dispatch(group: list) -> None:
-        arrs = tuple(np.stack([g[k] for g in group])
-                     for k in ('x1', 'x2', 'y', 'valid'))
+        arrs = tuple(np.stack([g[k] for g in group]) for k in keys)
         if mesh is not None and mesh.size > 1:
             arrs = _shard_group(arrs, mesh)
-        x1, x2, y, valid = arrs
         if inflight:  # bound device residency to one group + one staged
             consume()
-        inflight.append(_eval_wire_counts_jit(
-            model, state.params, state.batch_stats, x1, x2, y, valid, thr))
+        inflight.append(run_group(arrs))
 
     for i in range(len(ds)):
-        wire = ds.eval_wire(i, bucket)
+        wire = ds.eval_wire(i, bucket, **(wire_kwargs or {}))
         shape = wire['x1'].shape[1:]
         group = pending.setdefault(wire['x1'].shape, [])
         group.append(wire)
-        if len(group) >= eval_group_limit(shape):
+        if len(group) >= max(1, eval_group_limit(shape) // group_scale):
             dispatch(group)  # consumes synchronously (np.stack copies)
             group.clear()
     for group in pending.values():
@@ -183,6 +189,22 @@ def _measure_wired(model, state, ds, measurer,
             dispatch(group)
     while inflight:
         consume()
+
+
+def _measure_wired(model, state, ds, measurer,
+                   bucket: int, mesh=None) -> MultiThresholdMetric:
+    """Streaming group evaluation over ``ds.eval_wire`` wires — the
+    :func:`_stream_wire_groups` engine with the fused forward+confusion
+    dispatch (:func:`_eval_wire_counts_jit`) and float64 host
+    accumulation."""
+    thr = np.asarray(measurer.thresholds)
+    _stream_wire_groups(
+        ds, bucket, ('x1', 'x2', 'y', 'valid'),
+        run_group=lambda arrs: _eval_wire_counts_jit(
+            model, state.params, state.batch_stats, *arrs, thr),
+        accumulate=lambda counts: measurer.add_counts(
+            *(np.asarray(a, np.float64).sum(axis=0) for a in counts)),
+        mesh=mesh)
     return measurer
 
 
@@ -293,15 +315,15 @@ def sharded_scene_probabilities(model, state, item: dict, mesh) -> np.ndarray:
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from .parallel.mesh import DATA_AXIS
-
     x1, _ = pad_to_bucket(item["x_t1"])
     x2, _ = pad_to_bucket(item["x_t2"])
     if x1.shape[0] % mesh.size:
         bucket = EVAL_BUCKET * mesh.size
         x1, _ = pad_to_bucket(item["x_t1"], bucket)
         x2, _ = pad_to_bucket(item["x_t2"], bucket)
-    row_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    # height over EVERY mesh axis — on a 2-D (data, space) mesh all devices
+    # still split the one scene, consistent with the mesh.size padding above
+    row_sharding = NamedSharding(mesh, P(None, tuple(mesh.axis_names)))
     x1 = jax.device_put(x1[None], row_sharding)
     x2 = jax.device_put(x2[None], row_sharding)
     probs = eval_forward(model, state.params, state.batch_stats, x1, x2)
@@ -387,35 +409,21 @@ def dualtask_quantitative_counts(model, state, ds, bucket: int = EVAL_BUCKET,
         return None
     totals = {k: np.zeros(3, np.float64)
               for k in ("change", "change_sem", "sem")}
-    pending: dict = {}
-    inflight: list = []
 
-    def consume() -> None:
-        blocks = inflight.pop(0)
+    def accumulate(blocks: dict) -> None:
         for k, t in blocks.items():
             totals[k] += np.array([np.asarray(a, np.float64).sum()
                                    for a in t])
 
-    def dispatch(group: list) -> None:
-        arrs = tuple(np.stack([g[k] for g in group])
-                     for k in ("x1", "x2", "y", "ysem1", "ysem2", "valid"))
-        if mesh is not None and mesh.size > 1:
-            arrs = _shard_group(arrs, mesh)
-        if inflight:  # bound device residency to one group + one staged
-            consume()
-        inflight.append(_dualtask_wire_counts_jit(
-            model, state.params, state.batch_stats, *arrs))
-
-    for i in range(len(ds)):
-        wire = ds.eval_wire(i, bucket, sem=True)
-        group = pending.setdefault(wire["x1"].shape, [])
-        group.append(wire)
-        if len(group) >= eval_group_limit(wire["x1"].shape[1:]):
-            dispatch(group)  # consumes synchronously (np.stack copies)
-            group.clear()
-    for group in pending.values():
-        if group:
-            dispatch(group)
-    while inflight:
-        consume()
+    # group_scale=2: this dispatch holds roughly twice the live bytes per
+    # scene of the envelope-measured change-head forward (a second decoder
+    # pass through sem_change_head plus four full-res per-scene probability
+    # rasters and three confusion reductions), so halve the scenes/group to
+    # stay inside the measured 16x1024^2 memory envelope.
+    _stream_wire_groups(
+        ds, bucket, ("x1", "x2", "y", "ysem1", "ysem2", "valid"),
+        run_group=lambda arrs: _dualtask_wire_counts_jit(
+            model, state.params, state.batch_stats, *arrs),
+        accumulate=accumulate, mesh=mesh, wire_kwargs={"sem": True},
+        group_scale=2)
     return {k: tuple(v) for k, v in totals.items()}

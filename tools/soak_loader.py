@@ -138,7 +138,8 @@ def main() -> int:
                                   disable_unlabeled=True)
     if args.wire:
         from multimodal_siamese_cd_tpu.evaluation import EVAL_BUCKET
-        eval_ds.eval_wire(0, EVAL_BUCKET)  # warm the eval scene cache
+        for i in range(len(eval_ds)):  # warm EVERY eval AOI's scene cache
+            eval_ds.eval_wire(i, EVAL_BUCKET)
         eval_target = wire_eval_host_work_loop
         eval_args = (eval_ds, EVAL_BUCKET)
     else:
