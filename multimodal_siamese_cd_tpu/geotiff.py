@@ -438,7 +438,8 @@ def imread(path: str | Path) -> tuple[np.ndarray, dict]:
             f"Corrupt TIFF: implausible dimensions "
             f"{height}x{width}x{spp}: {path}") from None
 
-    def decode_block(idx: int, rows: int, cols: int) -> np.ndarray:
+    def decode_block(idx: int, rows: int, cols: int,
+                     nominal_rows: int | None = None) -> np.ndarray:
         if idx >= len(offsets) or idx >= len(counts):
             raise ValueError(
                 f"Corrupt TIFF: block {idx} beyond the offset table "
@@ -452,8 +453,13 @@ def imread(path: str | Path) -> tuple[np.ndarray, dict]:
                 f"Truncated TIFF: block {idx} "
                 f"[{offsets[idx]}:{offsets[idx] + counts[idx]}] beyond end "
                 f"of file ({len(buf)} bytes): {path}")
+        # The bomb-guard cap must allow the block's NOMINAL size, not the
+        # image-clamped remainder: writers may legitimately encode a final
+        # strip padded to full RowsPerStrip (data past the image edge is
+        # undefined per spec; np.frombuffer(count=n_vals) truncates it).
+        cap_vals = (nominal_rows or rows) * cols * samples_per_block
         raw = _decompress(bytes(buf[offsets[idx]:offsets[idx] + counts[idx]]),
-                          compression, expected=n_vals * dtype.itemsize)
+                          compression, expected=cap_vals * dtype.itemsize)
         if len(raw) < n_vals * dtype.itemsize:
             raise ValueError(
                 f"Corrupt TIFF: block {idx} decodes to {len(raw)} bytes, "
@@ -489,7 +495,10 @@ def imread(path: str | Path) -> tuple[np.ndarray, dict]:
             for s in range(strips_per_plane):
                 row0 = s * rps
                 rows = min(rps, height - row0)
-                block = decode_block(plane * strips_per_plane + s, rows, width)
+                # nominal strip height caps the bomb guard (see decode_block);
+                # min(rps, height) keeps an absurd RowsPerStrip from voiding it
+                block = decode_block(plane * strips_per_plane + s, rows, width,
+                                     nominal_rows=min(rps, height))
                 if planar == 2:
                     out[row0:row0 + rows, :, plane] = block[:, :, 0]
                 else:

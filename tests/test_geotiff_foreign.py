@@ -59,7 +59,7 @@ def _apply_predictor2(block: np.ndarray) -> np.ndarray:
 def forge_tiff(path, arr, *, order="<", tiled=False, tile=(16, 16),
                rows_per_strip=None, planar=1, compression=1, predictor=1,
                sparse_blocks=(), extra_entries=(), magic=42,
-               drop_blocks=0):
+               drop_blocks=0, pad_last_strip=False):
     """Write ``arr`` (H, W, C) as a TIFF in an arbitrary GDAL-style layout."""
     arr = np.asarray(arr)
     h, w, c = arr.shape
@@ -81,7 +81,14 @@ def forge_tiff(path, arr, *, order="<", tiled=False, tile=(16, 16),
         else:
             rps = rows_per_strip or h
             for s in range(-(-h // rps)):
-                blocks.append(plane[s * rps:(s + 1) * rps])
+                strip = plane[s * rps:(s + 1) * rps]
+                if pad_last_strip and strip.shape[0] < rps:
+                    # spec-legal writer variant: the final strip encoded at
+                    # full RowsPerStrip (rows past the image edge undefined)
+                    full = np.zeros((rps, *strip.shape[1:]), arr.dtype)
+                    full[:strip.shape[0]] = strip
+                    strip = full
+                blocks.append(strip)
 
     payloads = []
     for b in blocks:
@@ -212,6 +219,24 @@ def test_big_endian_tiled_predictor2(tmp_path):
 def test_float32_strips_deflate(tmp_path):
     arr = _demo_array(dtype=np.float32)
     f = forge_tiff(tmp_path / "f.tif", arr, compression=8, rows_per_strip=7)
+    back, _ = geotiff.imread(f)
+    np.testing.assert_array_equal(back, arr)
+
+
+@pytest.mark.parametrize("compression", [1, 5, 8, 32773])
+@pytest.mark.parametrize("planar", [1, 2])
+def test_writer_padded_final_strip_decodes(tmp_path, compression, planar):
+    """A final strip encoded at FULL RowsPerStrip (rows past the image edge
+    undefined per spec — some writers pad rather than truncate; libtiff/GDAL
+    read these by truncating) must decode exactly, not trip the
+    decompression-bomb guard. Regression: the guard's cap used the
+    image-clamped last-strip size, rejecting a 65-row deflate image whose
+    64-row-strip writer padded the 1-row tail to 64 rows."""
+    # dims chosen so the padded strip (64x1024 f32 = 256 KiB) exceeds the
+    # old clamped cap (2*1-row + 64 KiB slack) — the regression must trip it
+    arr = _demo_array(65, 1024, 2, dtype=np.float32)
+    f = forge_tiff(tmp_path / "p.tif", arr, compression=compression,
+                   planar=planar, rows_per_strip=64, pad_last_strip=True)
     back, _ = geotiff.imread(f)
     np.testing.assert_array_equal(back, arr)
 
