@@ -172,20 +172,28 @@ def encoder_widths(topology: Sequence[int]) -> list[int]:
 
 class Encoder(nn.Module):
     """Down-ladder over TOPOLOGY; returns features deepest-first
-    (reference networks.py:313-343)."""
+    (reference networks.py:313-343). ``remat=True`` checkpoints each Down
+    stage (jax.checkpoint via nn.remat): the backward pass recomputes the
+    stage's internal activations from its input instead of storing them —
+    the UNet skip features stay live either way, so this trades ~33% extra
+    stage FLOPs for dropping every intra-stage conv/BN/ReLU intermediate,
+    the memory lever for inputs far beyond the bs8-32 envelope
+    (MODEL.REMAT; pairs with TRAINER.SPATIAL_SHARDS)."""
 
     topology: Sequence[int]
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: str | None = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x1: jnp.ndarray, train: bool,
                  packed_input: bool = False) -> list[jnp.ndarray]:
+        down = nn.remat(Down, static_argnums=(2, 3)) if self.remat else Down
         feats = [x1]
         for idx, out_ch in enumerate(encoder_widths(self.topology)):
-            feats.append(Down(out_ch, self.dtype, self.bn_axis_name,
+            feats.append(down(out_ch, self.dtype, self.bn_axis_name,
                               name=f"down{idx + 1}")(
-                feats[-1], train, packed_input=packed_input and idx == 0))
+                feats[-1], train, packed_input and idx == 0))
         return feats[::-1]
 
 
@@ -197,15 +205,18 @@ def decoder_up_topology(topology: Sequence[int]) -> list[int]:
 
 class Decoder(nn.Module):
     """Up-ladder consuming a deepest-first feature list
-    (reference networks.py:346-382)."""
+    (reference networks.py:346-382). ``remat=True`` checkpoints each Up
+    stage (see :class:`Encoder`)."""
 
     topology: Sequence[int]
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: str | None = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, features: list[jnp.ndarray], train: bool,
                  packed_skip: bool = False) -> jnp.ndarray:
+        up = nn.remat(Up, static_argnums=(3, 4)) if self.remat else Up
         up_topo = decoder_up_topology(self.topology)
         n_layers = len(self.topology)
         x1 = features[0]
@@ -213,7 +224,7 @@ class Decoder(nn.Module):
             x2_idx = idx - 1 if idx != 0 else idx
             in_dim = up_topo[idx] * 2
             out_dim = up_topo[x2_idx]
-            x1 = Up(in_dim // 2, out_dim, self.dtype, self.bn_axis_name,
+            x1 = up(in_dim // 2, out_dim, self.dtype, self.bn_axis_name,
                     name=f"up{idx + 1}")(x1, features[i + 1], train,
-                                         packed=packed_skip and idx == 0)
+                                         packed_skip and idx == 0)
         return x1

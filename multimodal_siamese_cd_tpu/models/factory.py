@@ -51,24 +51,37 @@ def create_network(cfg):
     # MXU win on TPU. Defaults on; MODEL.PACKED_FULLRES: False restores the
     # reference-shaped graph bit-for-bit.
     packed = bool(cfg.MODEL.get("PACKED_FULLRES", True))
+    # MODEL.REMAT: True checkpoints every Down/Up stage and the stem
+    # (jax.checkpoint): backward recomputes intra-stage activations instead
+    # of storing them — the memory lever for inputs far beyond the bs8-32
+    # envelope (pairs with TRAINER.SPATIAL_SHARDS). Default off: memory
+    # does not bind at production batch sizes (BASELINE.md), so the ~33%
+    # extra stage FLOPs would be pure loss. Numerical transparency is
+    # tested (test_train_lib.py::test_remat_step_matches_plain); the
+    # actual HBM saving must be read off TPU memory_analysis — XLA:CPU's
+    # analysis is not memory-scheduling-aware and reports remat as a
+    # regression there. siamunet_diff (dead in the reference factory) does
+    # not take the flag.
+    remat = bool(cfg.MODEL.get("REMAT", False))
     n_s1 = len(cfg.DATALOADER.S1_BANDS)
 
     if model_type == 'unet':
-        return networks.UNet(topology, out_ch, dtype, bn_axis, packed)
+        return networks.UNet(topology, out_ch, dtype, bn_axis, packed, remat)
     if model_type == 'dualstreamunet':
         return networks.DualStreamUNet(topology, n_s1, out_ch, dtype,
-                                       bn_axis, packed)
+                                       bn_axis, packed, remat)
     if model_type == 'siameseunet':
-        return networks.SiameseUNet(topology, out_ch, dtype, bn_axis, packed)
+        return networks.SiameseUNet(topology, out_ch, dtype, bn_axis, packed,
+                                    remat)
     if model_type == 'dtsiameseunet':
         return networks.DualTaskSiameseUNet(topology, out_ch, dtype,
-                                            bn_axis, packed)
+                                            bn_axis, packed, remat)
     if model_type == 'whatevernet':
         return networks.WhateverNet(topology, n_s1, out_ch, dtype,
-                                    bn_axis, packed)
+                                    bn_axis, packed, remat)
     if model_type == 'whatevernet2':
         return networks.WhateverNet2(topology, n_s1, out_ch, dtype,
-                                     bn_axis, packed)
+                                     bn_axis, packed, remat)
     if model_type == 'siamunet_diff':
         return networks.SiamUnetDiff(out_ch, dtype)
     raise Exception(f'Unknown network ({model_type}).')

@@ -51,6 +51,15 @@ def _use_packed(module, x_t1) -> bool:
             and x_t1.shape[1] % 2 == 0)
 
 
+def _stem(module, out_ch: int, name: str = "inc") -> nn.Module:
+    """InConv, checkpointed when the model's ``remat`` flag is set (the stem
+    holds the largest activations — full-res, widest level). Call it with
+    POSITIONAL (x, train, packed): nn.remat's static_argnums only cover
+    positional arguments."""
+    cls = nn.remat(InConv, static_argnums=(2, 3)) if module.remat else InConv
+    return cls(out_ch, module.dtype, module.bn_axis_name, name=name)
+
+
 
 class UNet(nn.Module):
     """Early-fusion U-Net (reference networks.py:59-79)."""
@@ -60,16 +69,18 @@ class UNet(nn.Module):
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: str | None = None
     packed_fullres: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x_t1, x_t2, train: bool = False):
         pk = _use_packed(self, x_t1)
         x = jnp.concatenate([x_t1, x_t2], axis=-1)
-        x = InConv(self.topology[0], self.dtype, self.bn_axis_name,
-                   name="inc")(x, train, packed=pk)
+        x = _stem(self, self.topology[0])(x, train, pk)
         feats = Encoder(self.topology, self.dtype, self.bn_axis_name,
+                        remat=self.remat,
                         name="encoder")(x, train, packed_input=pk)
         x = Decoder(self.topology, self.dtype, self.bn_axis_name,
+                    remat=self.remat,
                     name="decoder")(feats, train, packed_skip=pk)
         return OutConv(self.out_channels, self.dtype,
                        name="outc")(x, packed=pk)
@@ -86,6 +97,7 @@ class DualStreamUNet(nn.Module):
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: str | None = None
     packed_fullres: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x_t1, x_t2, train: bool = False):
@@ -93,11 +105,12 @@ class DualStreamUNet(nn.Module):
 
         def stream(name: str, a, b):
             x = jnp.concatenate([a, b], axis=-1)
-            x = InConv(self.topology[0], self.dtype, self.bn_axis_name,
-                       name=f"inc_{name}")(x, train, packed=pk)
+            x = _stem(self, self.topology[0], name=f"inc_{name}")(x, train, pk)
             feats = Encoder(self.topology, self.dtype, self.bn_axis_name,
+                            remat=self.remat,
                             name=f"encoder_{name}")(x, train, packed_input=pk)
             return Decoder(self.topology, self.dtype, self.bn_axis_name,
+                           remat=self.remat,
                            name=f"decoder_{name}")(feats, train, packed_skip=pk)
 
         k = self.n_s1_bands
@@ -116,15 +129,18 @@ class SiameseUNet(nn.Module):
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: str | None = None
     packed_fullres: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x_t1, x_t2, train: bool = False):
         pk = _use_packed(self, x_t1)
-        inc = InConv(self.topology[0], self.dtype, self.bn_axis_name, name="inc")
-        enc = Encoder(self.topology, self.dtype, self.bn_axis_name, name="encoder")
-        f_t1 = enc(inc(x_t1, train, packed=pk), train, packed_input=pk)
-        f_t2 = enc(inc(x_t2, train, packed=pk), train, packed_input=pk)
+        inc = _stem(self, self.topology[0])
+        enc = Encoder(self.topology, self.dtype, self.bn_axis_name,
+                      remat=self.remat, name="encoder")
+        f_t1 = enc(inc(x_t1, train, pk), train, packed_input=pk)
+        f_t2 = enc(inc(x_t2, train, pk), train, packed_input=pk)
         x = Decoder(self.topology, self.dtype, self.bn_axis_name,
+                    remat=self.remat,
                     name="decoder")(_diff(f_t1, f_t2), train, packed_skip=pk)
         return OutConv(self.out_channels, self.dtype,
                        name="outc")(x, packed=pk)
@@ -140,12 +156,16 @@ class DualTaskSiameseUNet(nn.Module):
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: str | None = None
     packed_fullres: bool = True
+    remat: bool = False
 
     def setup(self):
-        self.inc = InConv(self.topology[0], self.dtype, self.bn_axis_name, name="inc")
-        self.encoder = Encoder(self.topology, self.dtype, self.bn_axis_name, name="encoder")
-        self.decoder_change = Decoder(self.topology, self.dtype, self.bn_axis_name)
-        self.decoder_sem = Decoder(self.topology, self.dtype, self.bn_axis_name)
+        self.inc = _stem(self, self.topology[0], name="inc")
+        self.encoder = Encoder(self.topology, self.dtype, self.bn_axis_name,
+                               remat=self.remat, name="encoder")
+        self.decoder_change = Decoder(self.topology, self.dtype,
+                                      self.bn_axis_name, remat=self.remat)
+        self.decoder_sem = Decoder(self.topology, self.dtype,
+                                   self.bn_axis_name, remat=self.remat)
         self.outc_change = OutConv(self.out_channels, self.dtype)
         self.outc_sem = OutConv(self.out_channels, self.dtype)
         # Auxiliary 2->1 change-from-semantics head; not used in forward but
@@ -155,9 +175,9 @@ class DualTaskSiameseUNet(nn.Module):
 
     def __call__(self, x_t1, x_t2, train: bool = False):
         pk = _use_packed(self, x_t1)
-        f_t1 = self.encoder(self.inc(x_t1, train, packed=pk), train,
+        f_t1 = self.encoder(self.inc(x_t1, train, pk), train,
                             packed_input=pk)
-        f_t2 = self.encoder(self.inc(x_t2, train, packed=pk), train,
+        f_t2 = self.encoder(self.inc(x_t2, train, pk), train,
                             packed_input=pk)
         out_change = self.outc_change(
             self.decoder_change(_diff(f_t1, f_t2), train, packed_skip=pk),
@@ -192,19 +212,20 @@ class WhateverNet(nn.Module):
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: str | None = None
     packed_fullres: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x_t1, x_t2, train: bool = False):
         pk = _use_packed(self, x_t1)
 
         def stream(name: str, a, b):
-            inc = InConv(self.topology[0], self.dtype, self.bn_axis_name,
-                         name=f"inc_{name}")
+            inc = _stem(self, self.topology[0], name=f"inc_{name}")
             enc = Encoder(self.topology, self.dtype, self.bn_axis_name,
-                          name=f"encoder_{name}")
-            f_a = enc(inc(a, train, packed=pk), train, packed_input=pk)
-            f_b = enc(inc(b, train, packed=pk), train, packed_input=pk)
+                          remat=self.remat, name=f"encoder_{name}")
+            f_a = enc(inc(a, train, pk), train, packed_input=pk)
+            f_b = enc(inc(b, train, pk), train, packed_input=pk)
             dec = Decoder(self.topology, self.dtype, self.bn_axis_name,
+                          remat=self.remat,
                           name=f"decoder_{name}")(_diff(f_a, f_b), train,
                                                   packed_skip=pk)
             out = OutConv(self.out_channels, self.dtype,
@@ -231,6 +252,7 @@ class WhateverNet2(nn.Module):
     dtype: Dtype = jnp.bfloat16
     bn_axis_name: str | None = None
     packed_fullres: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x_t1, x_t2, train: bool = False):
@@ -238,11 +260,12 @@ class WhateverNet2(nn.Module):
 
         def stream(name: str, a, b):
             x = jnp.concatenate([a, b], axis=-1)
-            x = InConv(self.topology[0], self.dtype, self.bn_axis_name,
-                       name=f"inc_{name}")(x, train, packed=pk)
+            x = _stem(self, self.topology[0], name=f"inc_{name}")(x, train, pk)
             feats = Encoder(self.topology, self.dtype, self.bn_axis_name,
+                            remat=self.remat,
                             name=f"encoder_{name}")(x, train, packed_input=pk)
             dec = Decoder(self.topology, self.dtype, self.bn_axis_name,
+                          remat=self.remat,
                           name=f"decoder_{name}")(feats, train, packed_skip=pk)
             out = OutConv(self.out_channels, self.dtype,
                           name=f"outc_{name}")(dec, packed=pk)

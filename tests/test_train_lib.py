@@ -207,6 +207,63 @@ def test_spatial_shards_incompatible_falls_back(cfg, capsys):
     assert mesh.axis_names == ("data",)
 
 
+@pytest.mark.parametrize("regime,model_type", [
+    ("supervised", "siameseunet"),
+    ("dualtask", "dtsiameseunet"),
+    ("semisupervised", "whatevernet"),
+])
+def test_remat_step_matches_plain(cfg, regime, model_type):
+    """MODEL.REMAT (jax.checkpoint on every stem/Down/Up stage) must be
+    numerically transparent: identical param tree and init, same step loss,
+    and train-mode forward gradients equal to the plain graph (remat
+    recomputes the identical ops; grads match to fp tolerance — post-Adam
+    PARAM comparison would be meaningless here for the same reason as the
+    mesh test above: BN-fed conv biases have ~zero true gradient, and Adam
+    normalizes compile-order noise there into lr-sized updates)."""
+    from multimodal_siamese_cd_tpu import losses
+
+    cfg.MODEL.TYPE = model_type
+    if regime == "semisupervised":
+        cfg.DATALOADER.INCLUDE_UNLABELED = True
+    batch = make_batch(cfg, regime,
+                       include_unlabeled=(regime == "semisupervised"))
+    rng = jax.random.PRNGKey(3)
+    criterion = losses.get_criterion(cfg.MODEL.LOSS_TYPE)
+    layout = train_lib.stack_layout(cfg)
+    x_t1, x_t2, y_change, _, _ = train_lib.split_stack(
+        train_lib.wire_to_nhwc(batch["stack"]), layout)
+
+    results = []
+    for remat in (False, True):
+        cfg.MODEL.REMAT = remat
+        model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+        params, batch_stats = state.params, state.batch_stats
+
+        def loss_fn(p):
+            out, _ = train_lib._apply_train(model, p, batch_stats,
+                                            x_t1, x_t2, jax.random.PRNGKey(1))
+            logits = out[0] if isinstance(out, tuple) else out
+            return criterion(logits, y_change)
+
+        grads = jax.jit(jax.grad(loss_fn))(params)
+        params_np = jax.tree_util.tree_map(np.asarray, params)
+        step = train_lib.make_train_step(model, cfg, regime, mesh=None)
+        _, m = step(state, batch["stack"], batch["is_labeled"], rng)  # donates
+        results.append((float(m["loss"]), params_np, grads))
+    (l0, p0, g0), (l1, p1, g1) = results
+    assert l0 == pytest.approx(l1, rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    leaves0 = jax.tree_util.tree_leaves(g0)
+    leaves1 = jax.tree_util.tree_leaves(g1)
+    assert len(leaves0) == len(leaves1)  # identical tree through remat
+    for a, b in zip(leaves0, leaves1):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-4, atol=1e-7)
+
+
 def test_checkpoint_roundtrip(cfg):
     cfg.MODEL.TYPE = "siameseunet"
     state, _, _ = run_steps(cfg, "supervised", n_steps=2)[0], None, None
