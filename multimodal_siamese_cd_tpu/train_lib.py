@@ -226,6 +226,89 @@ def _jit_step(fn, mesh, batch_ndim: int = 1):
     )
 
 
+def _grad_apply_step(grads_of, cfg) -> Callable:
+    """Finish a regime's gradient function into a full optimizer step.
+
+    ``grads_of(state, stack, is_labeled, rng) -> (grads, new_stats, aux)``
+    computes one batch's gradients. With ``TRAINER.GRAD_ACCUM: a > 1`` the
+    global batch is split into ``a`` micro-batches scanned sequentially:
+    gradients are averaged across micro-batches into ONE optimizer step
+    (the memory lever for batches whose activations exceed a chip —
+    composes with MODEL.REMAT and TRAINER.SPATIAL_SHARDS). Matching torch
+    accumulation semantics: BatchNorm normalizes per micro-batch and its
+    running stats chain through the micro-batches; masked-mean losses
+    average per micro-batch then across them (== global mean only when the
+    mask counts are equal per micro-batch). Metrics: ``n_*`` keys sum over
+    micro-batches, semi-supervised component losses take presence-masked
+    means (the per-step analog of the scanned-window reduction), the rest
+    average."""
+    accum = int(cfg.TRAINER.get("GRAD_ACCUM", 1))
+
+    if accum <= 1:
+        def step(state: TrainState, stack, is_labeled, rng):
+            grads, new_stats, aux = grads_of(state, stack, is_labeled, rng)
+            return state.apply_gradients(grads=grads,
+                                         batch_stats=new_stats), aux
+        return step
+
+    def step(state: TrainState, stack, is_labeled, rng):
+        batch = stack.shape[0]
+        if batch % accum:
+            raise ValueError(f"TRAINER.GRAD_ACCUM={accum} must divide the "
+                             f"batch size {batch}")
+        mb = batch // accum
+        stacks = stack.reshape(accum, mb, *stack.shape[1:])
+        labs = is_labeled.reshape(accum, mb)
+
+        def body(carry, xs):
+            stats, g_acc = carry
+            s, lab, idx = xs
+            # distinct augmentation randomness per micro-batch (grads_of
+            # folds state.step on top, so accum=1 semantics are unchanged)
+            grads, new_stats, aux = grads_of(
+                state.replace(batch_stats=stats), s, lab,
+                jax.random.fold_in(rng, idx))
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+            return (new_stats, g_acc), aux
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (new_stats, g_sum), auxs = jax.lax.scan(
+            body, (state.batch_stats, zeros),
+            (stacks, labs, jnp.arange(accum)))
+        grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
+        aux = _reduce_window_metrics(auxs)
+        return state.apply_gradients(grads=grads, batch_stats=new_stats), aux
+
+    return step
+
+
+def _reduce_window_metrics(metrics: dict) -> dict:
+    """Reduce per-step metrics stacked on a leading axis (scanned windows,
+    gradient-accumulation micro-batches) to one scalar set. Semi-supervised
+    component losses average only over entries where their partition was
+    present (a plain mean would dilute them toward 0 — the reference's
+    window protocol, train_semisupervised.py:85-106); counts are sums."""
+    if "n_labeled" in metrics:
+        has_lab = metrics["n_labeled"] > 0
+        has_unl = metrics["n_notlabeled"] > 0
+
+        def masked(key, mask):
+            return jnp.sum(metrics[key] * mask) / jnp.maximum(
+                jnp.sum(mask), 1.0)
+
+        return {
+            "loss": jnp.mean(metrics["loss"]),
+            "sup_loss": masked("sup_loss", has_lab),
+            "cons_loss": masked("cons_loss", has_unl),
+            "fusion_loss": masked("fusion_loss", has_lab),
+            "stream1_loss": masked("stream1_loss", has_lab),
+            "stream2_loss": masked("stream2_loss", has_lab),
+            "n_labeled": jnp.sum(metrics["n_labeled"]),
+            "n_notlabeled": jnp.sum(metrics["n_notlabeled"]),
+        }
+    return jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), metrics)
+
+
 def make_supervised_train_step(model, cfg, mesh=None, jit: bool = True) -> Callable:
     """Supervised change-detection step (reference train_supervised.py:63-77):
     ``loss = criterion(logits, y_change)``; single-head models only."""
@@ -233,7 +316,7 @@ def make_supervised_train_step(model, cfg, mesh=None, jit: bool = True) -> Calla
     layout = stack_layout(cfg)
     bn_groups = bn_group_count(cfg, mesh)
 
-    def step(state: TrainState, stack, is_labeled, rng):
+    def grads_of(state: TrainState, stack, is_labeled, rng):
         del is_labeled
         aug_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
         stack_aug = _augment(stack, aug_rng, cfg, layout)
@@ -246,9 +329,9 @@ def make_supervised_train_step(model, cfg, mesh=None, jit: bool = True) -> Calla
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
-        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
-        return state, {"loss": loss}
+        return grads, new_stats, {"loss": loss}
 
+    step = _grad_apply_step(grads_of, cfg)
     return _jit_step(step, mesh) if jit else step
 
 
@@ -277,7 +360,7 @@ def make_semisupervised_train_step(model, cfg, mesh=None, jit: bool = True) -> C
     layout = stack_layout(cfg)
     bn_groups = bn_group_count(cfg, mesh)
 
-    def step(state: TrainState, stack, is_labeled, rng):
+    def grads_of(state: TrainState, stack, is_labeled, rng):
         aug_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
         stack_aug = _augment(stack, aug_rng, cfg, layout)
         x_t1, x_t2, y_change, _, _ = split_stack(stack_aug, layout)
@@ -320,9 +403,9 @@ def make_semisupervised_train_step(model, cfg, mesh=None, jit: bool = True) -> C
 
         (_, (new_stats, aux)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
-        return state, aux
+        return grads, new_stats, aux
 
+    step = _grad_apply_step(grads_of, cfg)
     return _jit_step(step, mesh) if jit else step
 
 
@@ -335,7 +418,7 @@ def make_dualtask_train_step(model, cfg, mesh=None, jit: bool = True) -> Callabl
     layout = stack_layout(cfg)
     bn_groups = bn_group_count(cfg, mesh)
 
-    def step(state: TrainState, stack, is_labeled, rng):
+    def grads_of(state: TrainState, stack, is_labeled, rng):
         del is_labeled
         aug_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
         stack_aug = _augment(stack, aug_rng, cfg, layout)
@@ -355,9 +438,9 @@ def make_dualtask_train_step(model, cfg, mesh=None, jit: bool = True) -> Callabl
 
         (_, (new_stats, aux)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
-        return state, aux
+        return grads, new_stats, aux
 
+    step = _grad_apply_step(grads_of, cfg)
     return _jit_step(step, mesh) if jit else step
 
 
@@ -399,30 +482,10 @@ def make_scanned_train_step(model, cfg, regime: str, mesh=None,
 
         state, metrics = jax.lax.scan(f, state, (stacks, is_labeled),
                                       unroll=unroll)
-        if "n_labeled" in metrics:
-            # Semi-supervised window reduction mirrors the per-step trainer
-            # protocol: component losses average only over scanned steps
-            # where their partition was present (a plain mean would dilute
-            # them toward 0 by the absent-partition steps), counts are sums.
-            has_lab = metrics["n_labeled"] > 0
-            has_unl = metrics["n_notlabeled"] > 0
-
-            def masked(key, mask):
-                return jnp.sum(metrics[key] * mask) / jnp.maximum(
-                    jnp.sum(mask), 1.0)
-
-            return state, {
-                "loss": jnp.mean(metrics["loss"]),
-                "sup_loss": masked("sup_loss", has_lab),
-                "cons_loss": masked("cons_loss", has_unl),
-                "fusion_loss": masked("fusion_loss", has_lab),
-                "stream1_loss": masked("stream1_loss", has_lab),
-                "stream2_loss": masked("stream2_loss", has_lab),
-                "n_labeled": jnp.sum(metrics["n_labeled"]),
-                "n_notlabeled": jnp.sum(metrics["n_notlabeled"]),
-            }
-        return state, jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0),
-                                             metrics)
+        # Semi-supervised window reduction mirrors the per-step trainer
+        # protocol (see _reduce_window_metrics): presence-masked component
+        # means, summed counts; everything else is a plain window mean.
+        return state, _reduce_window_metrics(metrics)
 
     return _jit_step(multi_step, mesh, batch_ndim=2)
 

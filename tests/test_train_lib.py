@@ -264,6 +264,65 @@ def test_remat_step_matches_plain(cfg, regime, model_type):
                                    rtol=1e-4, atol=1e-7)
 
 
+def test_grad_accum_matches_duplicated_microbatch(cfg):
+    """TRAINER.GRAD_ACCUM=2 on a batch made of two identical halves must
+    produce the same parameter update as the plain step on one half:
+    micro-batch gradients are equal, so their average is too (augmentation
+    disabled — the accum path deliberately draws distinct augmentation
+    randomness per micro-batch)."""
+    cfg.MODEL.TYPE = "siameseunet"
+    for k in ("RANDOM_FLIP", "RANDOM_ROTATE", "COLOR_SHIFT",
+              "GAMMA_CORRECTION"):
+        setattr(cfg.AUGMENTATION, k, False)
+    cfg.TRAINER.BATCH_SIZE = 2
+    batch = make_batch(cfg)
+    half_stack, half_lab = batch["stack"], batch["is_labeled"]
+    full_stack = np.concatenate([half_stack, half_stack])
+    full_lab = np.concatenate([half_lab, half_lab])
+    rng = jax.random.PRNGKey(3)
+
+    model, s_plain = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    step_plain = train_lib.make_train_step(model, cfg, "supervised")
+    s_plain, m_plain = step_plain(s_plain, half_stack, half_lab, rng)
+
+    cfg.TRAINER.GRAD_ACCUM = 2
+    _, s_acc = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    step_acc = train_lib.make_train_step(model, cfg, "supervised")
+    s_acc, m_acc = step_acc(s_acc, full_stack, full_lab, rng)
+
+    assert float(m_plain["loss"]) == pytest.approx(float(m_acc["loss"]),
+                                                   rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_plain.params),
+                    jax.tree_util.tree_leaves(s_acc.params)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_grad_accum_semisup_metrics_and_training(cfg):
+    """Accumulated semi-supervised steps keep the window metric protocol
+    (presence-masked component means, summed counts) and still train."""
+    cfg.MODEL.TYPE = "whatevernet"
+    cfg.DATALOADER.INCLUDE_UNLABELED = True
+    cfg.TRAINER.BATCH_SIZE = 4
+    cfg.TRAINER.GRAD_ACCUM = 2
+    state, lo, m = run_steps(cfg, "semisupervised", n_steps=6)
+    assert all(np.isfinite(lo))
+    assert lo[-1] < lo[0]
+    assert float(m["n_labeled"]) + float(m["n_notlabeled"]) == 4  # summed
+
+
+def test_grad_accum_must_divide_batch(cfg):
+    cfg.MODEL.TYPE = "siameseunet"
+    cfg.TRAINER.BATCH_SIZE = 4
+    cfg.TRAINER.GRAD_ACCUM = 3
+    batch = make_batch(cfg)
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    step = train_lib.make_train_step(model, cfg, "supervised")
+    with pytest.raises(ValueError, match="GRAD_ACCUM"):
+        step(state, batch["stack"], batch["is_labeled"], jax.random.PRNGKey(3))
+
+
 def test_checkpoint_roundtrip(cfg):
     cfg.MODEL.TYPE = "siameseunet"
     state, _, _ = run_steps(cfg, "supervised", n_steps=2)[0], None, None
