@@ -312,6 +312,42 @@ def test_grad_accum_semisup_metrics_and_training(cfg):
     assert float(m["n_labeled"]) + float(m["n_notlabeled"]) == 4  # summed
 
 
+def test_grad_accum_composes_with_scanned_step(cfg):
+    """GRAD_ACCUM under the K>1 scan-fused step (scan-in-scan): with
+    augmentation off, scanned K=2 + GRAD_ACCUM=2 on duplicated micro-batch
+    halves must match the plain scanned K=2 step on the halves — same
+    window loss, same parameters."""
+    cfg.MODEL.TYPE = "siameseunet"
+    for k in ("RANDOM_FLIP", "RANDOM_ROTATE", "COLOR_SHIFT",
+              "GAMMA_CORRECTION"):
+        setattr(cfg.AUGMENTATION, k, False)
+    cfg.TRAINER.BATCH_SIZE = 2
+    K = 2
+    halves = [make_batch(cfg, seed=s) for s in (0, 1)]
+    stacks = np.stack([b["stack"] for b in halves])            # (K, B, ...)
+    labs = np.stack([b["is_labeled"] for b in halves])
+    rng = jax.random.PRNGKey(3)
+
+    model, s_plain = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    step_plain = train_lib.make_scanned_train_step(model, cfg, "supervised")
+    s_plain, m_plain = step_plain(s_plain, stacks, labs, rng)
+
+    cfg.TRAINER.GRAD_ACCUM = 2
+    _, s_acc = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    step_acc = train_lib.make_scanned_train_step(model, cfg, "supervised")
+    s_acc, m_acc = step_acc(s_acc, np.concatenate([stacks, stacks], axis=1),
+                            np.concatenate([labs, labs], axis=1), rng)
+
+    assert float(m_plain["loss"]) == pytest.approx(float(m_acc["loss"]),
+                                                   rel=1e-6)
+    assert int(s_acc.step) == int(s_plain.step) == K  # one update per window step
+    for a, b in zip(jax.tree_util.tree_leaves(s_plain.params),
+                    jax.tree_util.tree_leaves(s_acc.params)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_grad_accum_must_divide_batch(cfg):
     cfg.MODEL.TYPE = "siameseunet"
     cfg.TRAINER.BATCH_SIZE = 4
