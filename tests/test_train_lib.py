@@ -348,6 +348,46 @@ def test_grad_accum_composes_with_scanned_step(cfg):
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_mesh_step_collective_structure(cfg):
+    """Sharding-hygiene guard on the compiled 1-D data-parallel step: the
+    ONLY collective GSPMD may insert is all-reduce (gradient sums + sync-BN
+    batch stats), and nothing activation-sized may ride one. An accidental
+    replication or resharding of a batch-sharded activation shows up as an
+    all-gather / all-to-all / collective-permute, or as an all-reduce whose
+    operand carries the global batch — either fails here long before it
+    would be measurable on real chips."""
+    import re
+
+    cfg.MODEL.TYPE = "siameseunet"
+    cfg.TRAINER.BATCH_SIZE = 8
+    cfg.DATALOADER.TRAINING_MULTIPLIER = 4
+    batch = make_batch(cfg)
+    mesh = data_mesh()
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    step = train_lib.make_train_step(model, cfg, "supervised", mesh=mesh)
+    stack = jax.device_put(batch["stack"], batch_sharding(mesh))
+    txt = step.lower(state, stack, batch["is_labeled"],
+                     jax.random.PRNGKey(3)).compile().as_text()
+
+    for op in ("all-gather", "all-to-all", "collective-permute",
+               "reduce-scatter"):
+        assert f" {op}(" not in txt, f"unexpected {op} in data-parallel step"
+
+    ar_lines = [l for l in txt.splitlines() if " all-reduce(" in l]
+    assert ar_lines, "expected gradient/BN all-reduces on the 8-device mesh"
+    # Largest legal all-reduce payload: the biggest parameter leaf. The
+    # smallest activation-shaped tensor per shard is batch/8 x 32^2 x
+    # channels — orders above it.
+    max_param = max(int(np.prod(np.asarray(a.shape)))
+                    for a in jax.tree_util.tree_leaves(state.params))
+    for line in ar_lines:
+        shapes = re.findall(r"f32\[([\d,]*)\]", line.split("all-reduce(")[0])
+        for s in shapes:
+            n = int(np.prod([int(d) for d in s.split(",")])) if s else 1
+            assert n <= max_param, (
+                f"activation-sized all-reduce ({n} elements): {line[:120]}")
+
+
 def test_grad_accum_must_divide_batch(cfg):
     cfg.MODEL.TYPE = "siameseunet"
     cfg.TRAINER.BATCH_SIZE = 4
