@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Measure what MODEL.REMAT and TRAINER.GRAD_ACCUM actually save in device
+memory, via XLA's compiled memory analysis.
+
+For each configuration the full train step (augment + fwd + bwd + AdamW)
+is lowered and compiled for the attached backend and
+``compiled.memory_analysis()`` is read: ``temp_size_in_bytes`` is the
+activation/workspace arena (what remat/accumulation shrink),
+``argument_size_in_bytes`` the resident state (params + opt state + batch).
+
+Run ON TPU for honest numbers (`python tools/bench_remat_memory.py`):
+XLA:TPU's analysis reflects the real HBM scheduler. XLA:CPU's analysis is
+NOT memory-scheduling-aware and can report remat as a regression
+(documented in models/factory.py) — the tool prints the backend and tags
+CPU results advisory.
+
+Compile-only: nothing is executed, so a wedged tunnel still hangs at
+backend creation (use the env's timeout discipline), but no 100 s warmup
+fetch is paid.
+
+Output: one JSON line per configuration + a summary line with the
+remat and grad-accum temp-arena ratios at the largest requested shape.
+"""
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def build_step(cfg_overrides, crop, batch, regime="supervised"):
+    import jax
+
+    from multimodal_siamese_cd_tpu import train_lib
+    from multimodal_siamese_cd_tpu.config import load_cfg
+
+    cfg = load_cfg("base")
+    cfg.MODEL.TYPE = train_lib.REGIME_MODELS[regime]
+    cfg.AUGMENTATION.CROP_SIZE = crop
+    cfg.TRAINER.BATCH_SIZE = batch
+    if regime == "semisupervised":
+        cfg.DATALOADER.INCLUDE_UNLABELED = True
+    cfg.merge_from_list([str(x) for x in cfg_overrides])
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    step = train_lib.make_train_step(model, cfg, regime, mesh=None)
+    return step, state
+
+
+def analyze(label, overrides, crop, batch, regime):
+    import jax
+
+    step, state = build_step(overrides, crop, batch, regime)
+    host = np.random.default_rng(0)
+    stack = host.uniform(0, 1, (batch, 15, crop, crop)).astype(np.float32)
+    stack[:, 12:] = (stack[:, 12:] > 0.8).astype(np.float32)
+    lab = np.ones((batch,), np.float32)
+    compiled = step.lower(state, stack, lab, jax.random.PRNGKey(3)).compile()
+    m = compiled.memory_analysis()
+    if m is None:
+        print(json.dumps({"label": label, "error": "memory_analysis "
+                          "unavailable on this backend"}))
+        return None
+    rec = {
+        "label": label,
+        "crop": crop,
+        "batch": batch,
+        "regime": regime,
+        "temp_mib": round(m.temp_size_in_bytes / 2**20, 1),
+        "argument_mib": round(m.argument_size_in_bytes / 2**20, 1),
+        "output_mib": round(m.output_size_in_bytes / 2**20, 1),
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--crop", type=int, default=1024,
+                    help="oversized-input shape where memory binds")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--grad-accum", type=int, default=4)
+    ap.add_argument("--regime", default="supervised")
+    args = ap.parse_args()
+
+    import jax
+
+    backend = jax.default_backend()
+    print(f"# backend={backend}"
+          + ("  (ADVISORY: XLA:CPU analysis is not memory-scheduling-aware;"
+             " run on TPU for honest numbers)" if backend == "cpu" else ""),
+        file=sys.stderr, flush=True)
+
+    base = analyze("plain", [], args.crop, args.batch, args.regime)
+    remat = analyze("remat", ["MODEL.REMAT", "True"],
+                    args.crop, args.batch, args.regime)
+    accum = analyze(f"grad_accum_{args.grad_accum}",
+                    ["TRAINER.GRAD_ACCUM", str(args.grad_accum)],
+                    args.crop, args.batch, args.regime)
+    both = analyze(f"remat+grad_accum_{args.grad_accum}",
+                   ["MODEL.REMAT", "True",
+                    "TRAINER.GRAD_ACCUM", str(args.grad_accum)],
+                   args.crop, args.batch, args.regime)
+
+    if base and base["temp_mib"]:
+        summary = {"metric": "remat_memory", "backend": backend,
+                   "crop": args.crop, "batch": args.batch,
+                   "regime": args.regime,
+                   "plain_temp_mib": base["temp_mib"]}
+        for rec in (remat, accum, both):
+            if rec:
+                summary[f"{rec['label']}_temp_ratio"] = round(
+                    rec["temp_mib"] / base["temp_mib"], 3)
+        print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
