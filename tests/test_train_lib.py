@@ -401,8 +401,8 @@ def test_grad_accum_must_divide_batch(cfg):
 
 def test_checkpoint_roundtrip(cfg):
     cfg.MODEL.TYPE = "siameseunet"
-    state, _, _ = run_steps(cfg, "supervised", n_steps=2)[0], None, None
-    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))[1]
+    # roundtrip a TRAINED state so nonzero Adam moments must survive
+    state, _, _ = run_steps(cfg, "supervised", n_steps=2)
     f = checkpoints.save_checkpoint(state, epoch=100, step=42, cfg=cfg)
     assert f.name == f"{cfg.NAME}_checkpoint100.pt"
     model2, state2, step = checkpoints.load_checkpoint(100, cfg)
