@@ -409,6 +409,8 @@ def imread(path: str | Path) -> tuple[np.ndarray, dict]:
         offsets = ifd.value(TAG_STRIP_OFFSETS)
         counts = ifd.value(TAG_STRIP_BYTE_COUNTS)
         rps = ifd.scalar(TAG_ROWS_PER_STRIP, height)
+        # image-clamp so an absurd RowsPerStrip can't void the per-strip
+        # decompression-bomb cap (decode_block's nominal_rows)
         rps = min(rps, height)
         if rps <= 0:
             raise ValueError(f"Corrupt TIFF: non-positive RowsPerStrip: {path}")
@@ -496,9 +498,10 @@ def imread(path: str | Path) -> tuple[np.ndarray, dict]:
                 row0 = s * rps
                 rows = min(rps, height - row0)
                 # nominal strip height caps the bomb guard (see decode_block);
-                # min(rps, height) keeps an absurd RowsPerStrip from voiding it
+                # rps is already image-clamped where it's parsed, so an absurd
+                # RowsPerStrip cannot void the guard
                 block = decode_block(plane * strips_per_plane + s, rows, width,
-                                     nominal_rows=min(rps, height))
+                                     nominal_rows=rps)
                 if planar == 2:
                     out[row0:row0 + rows, :, plane] = block[:, :, 0]
                 else:

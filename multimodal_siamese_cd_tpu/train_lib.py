@@ -226,7 +226,7 @@ def _jit_step(fn, mesh, batch_ndim: int = 1):
     )
 
 
-def _grad_apply_step(grads_of, cfg) -> Callable:
+def _grad_apply_step(grads_of, cfg, mesh=None, bn_groups: int = 1) -> Callable:
     """Finish a regime's gradient function into a full optimizer step.
 
     ``grads_of(state, stack, is_labeled, rng) -> (grads, new_stats, aux)``
@@ -241,7 +241,14 @@ def _grad_apply_step(grads_of, cfg) -> Callable:
     mask counts are equal per micro-batch). Metrics: ``n_*`` keys sum over
     micro-batches, semi-supervised component losses take presence-masked
     means (the per-step analog of the scanned-window reduction), the rest
-    average."""
+    average.
+
+    The MICRO-batch is what the model sees, so it carries the layout
+    constraints the global batch carried without accumulation: it must
+    split evenly over the mesh's data axis (otherwise GSPMD silently
+    all-gathers the batch — replicating exactly the activations GRAD_ACCUM
+    exists to shrink) and over the per-replica BN groups of
+    ``MODEL.SYNC_BN: False``. Both are validated here with clear errors."""
     accum = int(cfg.TRAINER.get("GRAD_ACCUM", 1))
 
     if accum <= 1:
@@ -251,12 +258,27 @@ def _grad_apply_step(grads_of, cfg) -> Callable:
                                          batch_stats=new_stats), aux
         return step
 
+    from .parallel.mesh import data_axis_size
+    data_shards = 1 if mesh is None else data_axis_size(mesh)
+
     def step(state: TrainState, stack, is_labeled, rng):
         batch = stack.shape[0]
         if batch % accum:
             raise ValueError(f"TRAINER.GRAD_ACCUM={accum} must divide the "
                              f"batch size {batch}")
         mb = batch // accum
+        if data_shards > 1 and mb % data_shards:
+            raise ValueError(
+                f"TRAINER.GRAD_ACCUM={accum} makes the micro-batch {mb}, "
+                f"which does not split over the {data_shards}-shard data "
+                f"mesh axis — GSPMD would all-gather (replicate) the batch. "
+                f"Use a batch size with micro-batch a multiple of "
+                f"{data_shards}.")
+        if bn_groups > 1 and mb % bn_groups:
+            raise ValueError(
+                f"TRAINER.GRAD_ACCUM={accum} makes the micro-batch {mb}, "
+                f"which does not split over the {bn_groups} per-replica BN "
+                f"groups of MODEL.SYNC_BN: False.")
         stacks = stack.reshape(accum, mb, *stack.shape[1:])
         labs = is_labeled.reshape(accum, mb)
 
@@ -331,7 +353,7 @@ def make_supervised_train_step(model, cfg, mesh=None, jit: bool = True) -> Calla
             state.params)
         return grads, new_stats, {"loss": loss}
 
-    step = _grad_apply_step(grads_of, cfg)
+    step = _grad_apply_step(grads_of, cfg, mesh, bn_groups)
     return _jit_step(step, mesh) if jit else step
 
 
@@ -405,7 +427,7 @@ def make_semisupervised_train_step(model, cfg, mesh=None, jit: bool = True) -> C
             loss_fn, has_aux=True)(state.params)
         return grads, new_stats, aux
 
-    step = _grad_apply_step(grads_of, cfg)
+    step = _grad_apply_step(grads_of, cfg, mesh, bn_groups)
     return _jit_step(step, mesh) if jit else step
 
 
@@ -440,7 +462,7 @@ def make_dualtask_train_step(model, cfg, mesh=None, jit: bool = True) -> Callabl
             loss_fn, has_aux=True)(state.params)
         return grads, new_stats, aux
 
-    step = _grad_apply_step(grads_of, cfg)
+    step = _grad_apply_step(grads_of, cfg, mesh, bn_groups)
     return _jit_step(step, mesh) if jit else step
 
 

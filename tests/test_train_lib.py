@@ -399,6 +399,41 @@ def test_grad_accum_must_divide_batch(cfg):
         step(state, batch["stack"], batch["is_labeled"], jax.random.PRNGKey(3))
 
 
+def test_grad_accum_microbatch_must_split_over_mesh(cfg):
+    """A micro-batch smaller than the data-mesh axis must be rejected:
+    GSPMD would otherwise silently all-gather (replicate) the batch —
+    the exact activation blow-up GRAD_ACCUM exists to prevent."""
+    cfg.MODEL.TYPE = "siameseunet"
+    cfg.TRAINER.BATCH_SIZE = 16
+    cfg.DATALOADER.TRAINING_MULTIPLIER = 8
+    cfg.TRAINER.GRAD_ACCUM = 4          # micro-batch 4 < 8 mesh devices
+    batch = make_batch(cfg)
+    mesh = data_mesh()
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    step = train_lib.make_train_step(model, cfg, "supervised", mesh=mesh)
+    stack = jax.device_put(batch["stack"], batch_sharding(mesh))
+    with pytest.raises(ValueError, match="all-gather"):
+        step(state, stack, batch["is_labeled"], jax.random.PRNGKey(3))
+
+
+def test_grad_accum_microbatch_must_split_over_bn_groups(cfg):
+    """MODEL.SYNC_BN: False passes bn_group_count's whole-batch check, but
+    the micro-batch is what the per-replica BN vmap sees — a clear error
+    must replace the former opaque trace-time reshape failure."""
+    cfg.MODEL.TYPE = "siameseunet"
+    cfg.MODEL.SYNC_BN = False
+    cfg.TRAINER.BATCH_SIZE = 16
+    cfg.DATALOADER.TRAINING_MULTIPLIER = 8
+    cfg.TRAINER.GRAD_ACCUM = 4          # micro-batch 4; mesh check fires
+    batch = make_batch(cfg)
+    mesh = data_mesh()
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    step = train_lib.make_train_step(model, cfg, "supervised", mesh=mesh)
+    stack = jax.device_put(batch["stack"], batch_sharding(mesh))
+    with pytest.raises(ValueError, match="all-gather|BN"):
+        step(state, stack, batch["is_labeled"], jax.random.PRNGKey(3))
+
+
 def test_checkpoint_roundtrip(cfg):
     cfg.MODEL.TYPE = "siameseunet"
     # roundtrip a TRAINED state so nonzero Adam moments must survive

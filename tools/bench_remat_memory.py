@@ -14,9 +14,12 @@ NOT memory-scheduling-aware and can report remat as a regression
 (documented in models/factory.py) — the tool prints the backend and tags
 CPU results advisory.
 
-Compile-only: nothing is executed, so a wedged tunnel still hangs at
-backend creation (use the env's timeout discipline), but no 100 s warmup
-fetch is paid.
+Compile-only: nothing is executed, so no 100 s warmup fetch is paid —
+but backend creation itself hangs forever on a wedged tunnel, so a
+watchdog (``--wedge-timeout``, disarmed once the backend exists) aborts
+loudly instead, and ``--cpu`` forces the CPU backend through
+``jax.config.update`` (the env pins JAX_PLATFORMS=axon at interpreter
+startup, so the env var alone cannot).
 
 Output: one JSON line per configuration + a summary line with the
 remat and grad-accum temp-arena ratios at the largest requested shape.
@@ -24,9 +27,14 @@ remat and grad-accum temp-arena ratios at the largest requested shape.
 
 import argparse
 import json
+import os
 import sys
+import threading
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def build_step(cfg_overrides, crop, batch, regime="supervised"):
@@ -80,12 +88,30 @@ def main():
                     help="oversized-input shape where memory binds")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--grad-accum", type=int, default=4)
-    ap.add_argument("--regime", default="supervised")
+    ap.add_argument("--regime", default="supervised",
+                    choices=("supervised", "dualtask", "semisupervised"))
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (advisory numbers)")
+    ap.add_argument("--wedge-timeout", type=float, default=600.0,
+                    help="abort if no backend exists after this many seconds")
     args = ap.parse_args()
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    backend_up = threading.Event()
+
+    def watch():
+        if not backend_up.wait(args.wedge_timeout):
+            print(f"WEDGED: no backend after {args.wedge_timeout:.0f}s "
+                  "(tunnel down?); aborting", file=sys.stderr, flush=True)
+            os._exit(2)
+
+    threading.Thread(target=watch, daemon=True).start()
     backend = jax.default_backend()
+    backend_up.set()
     print(f"# backend={backend}"
           + ("  (ADVISORY: XLA:CPU analysis is not memory-scheduling-aware;"
              " run on TPU for honest numbers)" if backend == "cpu" else ""),
