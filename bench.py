@@ -8,9 +8,9 @@ run measures all three training regimes with their headline models
 (supervised SiameseUNet [64,128,256,512] — the primary metric — plus
 dual-task DualTaskSiameseUNet and semi-supervised WhateverNet) and emits
 them in ONE JSON payload; ``--regime`` restricts to a single regime for
-probing. The PyTorch reference measured under the same step definition by
-tools/bench_reference.py provides ``vs_baseline`` (see BASELINE.md for the
-recorded number and caveats).
+probing. The PyTorch reference measured under the same step definitions by
+tools/bench_reference.py provides ``vs_baseline`` (primary regime) and the
+per-regime ``vs_torch`` map (see BASELINE.md for numbers and caveats).
 
 Timing methodology: K optimizer steps are fused into one dispatch with
 ``lax.scan`` (train_lib.make_scanned_train_step) and every timed window is
@@ -21,7 +21,8 @@ is the only honest synchronization point; the scan also amortizes the
 
 Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "patches/sec/chip", "vs_baseline": N,
-   "regimes": {"supervised": N, "dualtask": N, "semisupervised": N}}``
+   "regimes": {"supervised": N, "dualtask": N, "semisupervised": N},
+   "vs_torch": {"supervised": N, "dualtask": N, "semisupervised": N}}``
 """
 
 import argparse
@@ -39,9 +40,16 @@ from multimodal_siamese_cd_tpu.config import load_cfg
 from multimodal_siamese_cd_tpu.parallel import data_mesh
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-# PyTorch reference throughput under the identical step definition,
-# measured by tools/bench_reference.py on this host (see BASELINE.md).
-TORCH_REFERENCE_PATCHES_PER_SEC = 0.177
+# PyTorch reference throughput under the identical step definitions,
+# measured by tools/bench_reference.py on this host's CPU — the only
+# hardware torch can use here; one same-session sweep, 2026-08-18 (see
+# BASELINE.md for the caveats and history: supervised measured 0.177 in
+# an earlier session, 1-core host timing varies ~20% between days).
+TORCH_REFERENCE_PATCHES_PER_SEC = {
+    "supervised": 0.216,
+    "dualtask": 0.083,
+    "semisupervised": 0.073,
+}
 
 from multimodal_siamese_cd_tpu.train_lib import REGIME_MODELS
 
@@ -180,8 +188,12 @@ def main() -> int:
         "metric": "train_patches_per_sec_per_chip",
         "value": per_chip,
         "unit": "patches/sec/chip",
-        "vs_baseline": round(per_chip / TORCH_REFERENCE_PATCHES_PER_SEC, 2),
+        "vs_baseline": round(
+            per_chip / TORCH_REFERENCE_PATCHES_PER_SEC[primary], 2),
         "regimes": {r: v["value"] for r, v in results.items()},
+        "vs_torch": {r: round(v["value"]
+                              / TORCH_REFERENCE_PATCHES_PER_SEC[r], 1)
+                     for r, v in results.items()},
     }
     print(json.dumps(result))
     if args.assert_min is not None and per_chip < args.assert_min:
