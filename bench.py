@@ -78,6 +78,24 @@ def _arm_wedge_watchdog(seconds: float) -> None:
     threading.Thread(target=watch, daemon=True).start()
 
 
+def build_payload(results: dict, primary: str) -> dict:
+    """Assemble the single-line JSON payload the driver parses. ``results``
+    maps regime -> {"value": patches/s/chip, ...}; ``primary`` is the
+    headline regime (first measured)."""
+    per_chip = results[primary]["value"]
+    return {
+        "metric": "train_patches_per_sec_per_chip",
+        "value": per_chip,
+        "unit": "patches/sec/chip",
+        "vs_baseline": round(
+            per_chip / TORCH_REFERENCE_PATCHES_PER_SEC[primary], 2),
+        "regimes": {r: v["value"] for r, v in results.items()},
+        "vs_torch": {r: round(v["value"]
+                              / TORCH_REFERENCE_PATCHES_PER_SEC[r], 1)
+                     for r, v in results.items()},
+    }
+
+
 def build_batches(k: int, batch_size: int, crop: int, rng: np.random.Generator):
     # planar wire stacks (K, B, C, S, S): 12 imagery channels
     # (2x2 S1 + 2x4 S2) + 2 buildings + 1 change
@@ -182,19 +200,8 @@ def main() -> int:
         model_type = args.model or REGIME_MODELS[regime]
         results[regime] = run_regime(args, regime, model_type)
 
-    primary = regimes[0]
-    per_chip = results[primary]["value"]
-    result = {
-        "metric": "train_patches_per_sec_per_chip",
-        "value": per_chip,
-        "unit": "patches/sec/chip",
-        "vs_baseline": round(
-            per_chip / TORCH_REFERENCE_PATCHES_PER_SEC[primary], 2),
-        "regimes": {r: v["value"] for r, v in results.items()},
-        "vs_torch": {r: round(v["value"]
-                              / TORCH_REFERENCE_PATCHES_PER_SEC[r], 1)
-                     for r, v in results.items()},
-    }
+    result = build_payload(results, regimes[0])
+    per_chip = result["value"]
     print(json.dumps(result))
     if args.assert_min is not None and per_chip < args.assert_min:
         print(f"REGRESSION: {per_chip:.1f} < --assert-min {args.assert_min}",

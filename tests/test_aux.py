@@ -247,3 +247,32 @@ def test_compose_grid_annotations(tmp_path):
     round_trip = png.read_png(out)
     assert round_trip.shape[:2] == annotated.shape[:2]
     assert np.array_equal(round_trip[..., :3], annotated)
+
+
+def test_bench_payload_contract():
+    """Pin the driver-facing bench.py JSON payload: primary metric, all
+    three regime keys, per-regime vs_torch ratios against the recorded
+    torch baselines, and JSON-serializability."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+
+    results = {"supervised": {"value": 333.7},
+               "dualtask": {"value": 199.2},
+               "semisupervised": {"value": 165.1}}
+    payload = bench.build_payload(results, "supervised")
+    assert payload["metric"] == "train_patches_per_sec_per_chip"
+    assert payload["value"] == 333.7
+    assert payload["unit"] == "patches/sec/chip"
+    assert set(payload["regimes"]) == set(results)
+    assert set(payload["vs_torch"]) == set(results)
+    for regime, rec in results.items():
+        expect = rec["value"] / bench.TORCH_REFERENCE_PATCHES_PER_SEC[regime]
+        assert payload["vs_torch"][regime] == pytest.approx(expect, rel=0.01)
+    assert payload["vs_baseline"] == pytest.approx(333.7 / 0.216, rel=0.01)
+    assert payload["vs_torch"]["supervised"] == pytest.approx(
+        payload["vs_baseline"], rel=0.01)
+    json.dumps(payload)  # single-line parseable
