@@ -144,9 +144,10 @@ class UniformCrop:
 
     def __call__(self, args):
         height, width = args[2].shape[:2]
-        y, x = choose_crop_offset(self._label_plane(args), height, width,
+        label = self._label_plane(args)  # scene-sized reduce — compute once
+        y, x = choose_crop_offset(label, height, width,
                                   self.crop_size, self.rng,
-                                  importance=self._label_plane(args) is not None)
+                                  importance=label is not None)
         return self.crop_at(args, y, x, self.crop_size)
 
 

@@ -76,14 +76,39 @@ class SceneCache:
 
     # -- cache management ------------------------------------------------------
     def _timestamps(self, aoi_id: str, modality: str) -> list[tuple[int, int]]:
-        key = "buildings" if modality == "buildings" else modality
-        return [(ts["year"], ts["month"]) for ts in self.metadata[aoi_id]
-                if ts.get(key)]
+        """Timestamps the dataset can actually request for ``modality``
+        (mirrors MultimodalCDDataset._eligible_timestamps): imagery is
+        sampled wherever BOTH modalities exist (the unlabeled superset;
+        masked allowed, reference datasets.py:121-124), buildings only at
+        fully-labeled unmasked timestamps. Packing exactly this set keeps
+        the build from decoding files the sampler never opens — metadata
+        may flag timestamps whose other modality is absent or masked, and
+        the reference tolerates those files being missing."""
+        def want(t):
+            if modality == "buildings":
+                return (t.get("s1") and t.get("s2") and t.get("buildings")
+                        and not t.get("masked", False))
+            return t.get("s1") and t.get("s2")
+
+        return [(t["year"], t["month"]) for t in self.metadata[aoi_id]
+                if want(t)]
 
     def _cache_key(self, aoi_id: str, modality: str) -> str:
         bands = self.s1_bands if modality == "s1" else self.s2_bands
-        ident = json.dumps([_CACHE_VERSION, modality, bands,
-                            self._timestamps(aoi_id, modality), str(self.dtype)])
+        stamps = self._timestamps(aoi_id, modality)
+        # Fingerprint the SOURCE files (size + mtime): without this a
+        # re-downloaded / regenerated tif would silently keep serving the
+        # old cached pixels forever. A missing file hashes as None — the
+        # build will surface the real error if it is actually needed.
+        src = []
+        for (y, m) in stamps:
+            try:
+                st = self._tif_path(aoi_id, modality, y, m).stat()
+                src.append([st.st_size, st.st_mtime_ns])
+            except OSError:
+                src.append(None)
+        ident = json.dumps([_CACHE_VERSION, modality, bands, stamps,
+                            str(self.dtype), src])
         h = hashlib.sha1(ident.encode()).hexdigest()[:10]
         return f"{aoi_id}_{modality}_{h}"
 
@@ -149,20 +174,32 @@ class SceneCache:
         return out
 
     def load_raw_planar(self, aoi_id: str, modality: str,
-                        year: int, month: int) -> np.ndarray:
+                        year: int, month: int,
+                        window: tuple | None = None) -> np.ndarray:
         """Memmap-backed planar (C, H, W) scene in its storage dtype (no
         conversion, no copy) — THE hot-path accessor: callers slice crop
         windows (contiguous runs per channel) and convert only those.
-        Returned as a base ndarray view: np.memmap's ``__array_finalize__``
-        / ``__array_wrap__`` subclass plumbing costs ~0.75 ms/sample across
-        the ~50 slices the crop path takes (measured in cProfile) and buys
-        nothing here."""
+        ``window=(y0, y1, x0, x1)`` returns just that spatial slice; with
+        the cache DISABLED the HWC decode is sliced before the planar
+        transpose, so only O(window) bytes are copied instead of a
+        full-scene transpose per call. Returned as a base ndarray view:
+        np.memmap's ``__array_finalize__`` / ``__array_wrap__`` subclass
+        plumbing costs ~0.75 ms/sample across the ~50 slices the crop path
+        takes (measured in cProfile) and buys nothing here."""
         if not self.enabled:
             img = self._decode(aoi_id, modality, year, month)
-            return np.ascontiguousarray(
-                img.transpose(2, 0, 1) if img.ndim == 3 else img[None])
+            if img.ndim == 2:
+                img = img[:, :, None]
+            if window is not None:
+                y0, y1, x0, x1 = window
+                img = img[y0:y1, x0:x1]
+            return np.ascontiguousarray(img.transpose(2, 0, 1))
         arr, index = self._load_packed(aoi_id, modality)
-        return arr[index[(year, month)]].view(np.ndarray)
+        plane = arr[index[(year, month)]].view(np.ndarray)
+        if window is not None:
+            y0, y1, x0, x1 = window
+            return plane[:, y0:y1, x0:x1]
+        return plane
 
     def scene_shape(self, aoi_id: str, modality: str, year: int, month: int) -> tuple:
         """(H, W, C) — the layout-independent logical shape."""

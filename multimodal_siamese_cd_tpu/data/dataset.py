@@ -251,8 +251,8 @@ class MultimodalCDDataset:
         n_img = 2 * n_s1 + 2 * n_s2
 
         def planar_win(modality, year, month):
-            return self.cache.load_raw_planar(aoi_id, modality, year, month)[
-                :, y0:y0 + s, x0:x0 + s]
+            return self.cache.load_raw_planar(aoi_id, modality, year, month,
+                                              window=(y0, y0 + s, x0, x0 + s))
 
         # Assemble the joint PLANAR (C, S, S) stack straight into one buffer
         # — each slot assignment is a contiguous-run copy per channel
@@ -420,7 +420,8 @@ class MultimodalCDDataset:
         return (n_img + 3, s, s), (np.float16 if f16 else np.float32)
 
     def get_aoi_ids(self) -> list:
-        return list(set(self.aoi_ids))
+        # sorted: set order varies with PYTHONHASHSEED across runs
+        return sorted(set(self.aoi_ids))
 
     def get_index(self, aoi_id: str):
         """Linear AOI lookup (reference datasets.py:183-187)."""

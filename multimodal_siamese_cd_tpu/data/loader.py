@@ -149,12 +149,15 @@ class TrainLoader:
                     submitted += 1
                 yield batch
         finally:
+            # cancel_futures: an abandoned epoch (exception, early stop)
+            # must not leave queued ~31 MB batch builds competing for the
+            # 1-core host during teardown/eval
             if self.worker_type == "thread":
-                pool.shutdown(wait=False)
+                pool.shutdown(wait=False, cancel_futures=True)
 
     def close(self) -> None:
         if self._proc_pool is not None:
-            self._proc_pool.shutdown(wait=False)
+            self._proc_pool.shutdown(wait=False, cancel_futures=True)
             self._proc_pool = None
 
 

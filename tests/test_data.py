@@ -303,6 +303,75 @@ def test_cache_key_changes_with_bands(cfg, fixture_dataset):
     np.testing.assert_array_equal(s_a[..., 0], s_b[..., 1])  # band order swapped
 
 
+def test_cache_key_changes_when_source_tif_changes(cfg, fixture_dataset,
+                                                   tmp_path):
+    """Rewriting a source GeoTIFF (re-download, regenerated fixture) must
+    invalidate the cache entry: the key fingerprints file size+mtime, so a
+    fresh SceneCache serves the NEW pixels instead of stale cached ones."""
+    import os
+    import shutil
+
+    tree = tmp_path / "ds"
+    shutil.copytree(fixture_dataset, tree)
+    meta = geofiles.load_json(tree / "metadata.json")
+    aoi = TRAIN_AOIS[0]
+    ts = meta[aoi][0]
+    cache = SceneCache(tree, meta, [0, 1], [2, 1, 0, 3], dtype="float32")
+    before = cache.load(aoi, "s1", ts["year"], ts["month"])
+
+    tif = tree / aoi / "s1" / f"s1_{aoi}_{ts['year']}_{ts['month']:02d}.tif"
+    img, transform, crs = geofiles.read_tif(tif)
+    geofiles.write_tif(tif, np.clip(img * 0.5, 0, 1), transform, crs)
+    os.utime(tif, ns=(os.stat(tif).st_mtime_ns + 10**9,) * 2)
+
+    fresh = SceneCache(tree, meta, [0, 1], [2, 1, 0, 3], dtype="float32")
+    after = fresh.load(aoi, "s1", ts["year"], ts["month"])
+    np.testing.assert_allclose(after, np.clip(before * 0.5, 0, 1), atol=1e-6)
+
+
+def test_cache_build_skips_sampler_ineligible_timestamps(cfg,
+                                                         fixture_dataset,
+                                                         tmp_path):
+    """Metadata may flag timestamps the sampler can never request (other
+    modality absent; buildings at masked timestamps). The cache build must
+    not decode — or require the existence of — those files, matching the
+    reference's read-on-demand tolerance."""
+    import shutil
+
+    tree = tmp_path / "ds"
+    shutil.copytree(fixture_dataset, tree)
+    meta = geofiles.load_json(tree / "metadata.json")
+    aoi = TRAIN_AOIS[0]
+    ghost = dict(meta[aoi][0])
+    ghost.update(year=2030, month=1, s1=True, s2=False, buildings=False,
+                 masked=False)   # s1-only: sampler needs s1 AND s2
+    masked = dict(meta[aoi][0])
+    masked.update(year=2030, month=2, s1=True, s2=True, buildings=True,
+                  masked=True)   # masked: buildings never requested
+    meta[aoi] = meta[aoi] + [ghost, masked]
+    # the masked timestamp's imagery IS sampler-eligible (unlabeled path
+    # allows masked) — write those files; leave the ghost's s1 and the
+    # masked timestamp's buildings MISSING
+    src_ts = meta[aoi][0]
+    for mod in ("s1", "s2"):
+        src = tree / aoi / mod / f"{mod}_{aoi}_{src_ts['year']}_{src_ts['month']:02d}.tif"
+        shutil.copy(src, tree / aoi / mod / f"{mod}_{aoi}_2030_02.tif")
+    geofiles.write_json(tree / "metadata.json", meta)
+
+    cache = SceneCache(tree, meta, [0, 1], [2, 1, 0, 3], dtype="float32")
+    ts = meta[aoi][0]
+    # builds must succeed despite the missing ghost-s1 / masked-buildings
+    for mod in ("s1", "s2", "buildings"):
+        cache.load(aoi, mod, ts["year"], ts["month"])
+    # the masked timestamp's imagery is packed (unlabeled-eligible)
+    cache.load(aoi, "s1", 2030, 2)
+    # the ghost timestamp is in no pack
+    _, index = cache._load_packed(aoi, "s1")
+    assert (2030, 1) not in index
+    _, bindex = cache._load_packed(aoi, "buildings")
+    assert (2030, 2) not in bindex
+
+
 def test_corrupt_tif_raises_cleanly(cfg, fixture_dataset, tmp_path):
     import shutil
 
