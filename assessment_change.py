@@ -55,7 +55,8 @@ def quantitative_assessment(cfg, run_type: str = 'test') -> None:
     ds = MultimodalCDDataset(cfg, run_type, no_augmentations=True,
                              dataset_mode='first_last', disable_multiplier=True,
                              disable_unlabeled=True)
-    data = evaluation.inference_loop(model, state, ds)
+    data = evaluation.inference_loop(model, state, ds,
+                                     bucket=evaluation.eval_bucket(cfg))
     f1, precision, recall = data['change']
     print(f'F1 score: {f1:.3f} - Precision: {precision:.3f} - Recall {recall:.3f}')
 

@@ -89,7 +89,9 @@ def quantitative_assessment(cfg, run_type: str = 'validation') -> None:
     model, state, _ = checkpoints.load_checkpoint(cfg.INFERENCE_CHECKPOINT, cfg)
     ds = _dataset(cfg, run_type)
 
-    counts = evaluation.dualtask_quantitative_counts(model, state, ds)
+    bucket = evaluation.eval_bucket(cfg)
+    counts = evaluation.dualtask_quantitative_counts(model, state, ds,
+                                                     bucket=bucket)
     if counts is not None:
         for title, key in (('Change', 'change'), ('Change Sem', 'change_sem'),
                            ('Sem', 'sem')):
@@ -101,7 +103,8 @@ def quantitative_assessment(cfg, run_type: str = 'validation') -> None:
     predictions_change, predictions_change_sem, predictions_sem = [], [], []
     ground_truths_change, ground_truths_sem = [], []
     for item in ds:
-        out = evaluation.dualtask_scene_outputs(model, state, item)
+        out = evaluation.dualtask_scene_outputs(model, state, item,
+                                                bucket=bucket)
         ground_truths_sem.extend([item['y_sem_t1'].ravel(), item['y_sem_t2'].ravel()])
         ground_truths_change.append(item['y_change'].ravel())
         predictions_change.append(out['change'].ravel())

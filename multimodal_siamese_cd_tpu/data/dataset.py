@@ -333,6 +333,14 @@ class MultimodalCDDataset:
             item['y_sem_t2'] = np.ascontiguousarray(buildings[..., 1:])
         return item
 
+    def supports_eval_wire(self) -> bool:
+        """THE eligibility predicate for the fused wire eval fast path —
+        the single source both evaluation.py callers (run_measurer,
+        dualtask_quantitative_counts) and :meth:`eval_wire`'s own guard
+        consult, so a new ineligibility condition added here can never
+        desync a caller into a mid-stream None wire."""
+        return self.cache.enabled and self.no_augmentations
+
     def eval_wire(self, index: int, bucket: int = 64,
                   sem: bool = False) -> dict | None:
         """Planar, bucket-padded full-scene eval wires — the run_measurer
@@ -355,7 +363,7 @@ class MultimodalCDDataset:
         the device-side ``> 0.5`` reproduces the float32 item path's
         thresholding exactly).
         """
-        if not self.cache.enabled or not self.no_augmentations:
+        if not self.supports_eval_wire():
             return None
         rng = self.rng
         aoi_id = self.aoi_ids[index]

@@ -56,6 +56,15 @@ EVAL_GROUP_BUDGET_PX = 16 * 1024 * 1024
 EVAL_GROUP_CAP = 16
 
 
+def eval_bucket(cfg) -> int:
+    """The padding bucket a config asks for: ``TRAINER.EVAL_PAD_MULTIPLE``
+    (1 = exact shapes) or the 64-pixel default. THE accessor every eval
+    entry point (in-training and the offline assessment scripts) resolves
+    the knob through, so the docstring's exactness-hatch promise holds on
+    all of them."""
+    return int(cfg.TRAINER.get('EVAL_PAD_MULTIPLE', EVAL_BUCKET))
+
+
 def eval_group_limit(shape) -> int:
     """Max scenes per batched eval forward for a padded scene ``shape``."""
     return max(1, min(EVAL_GROUP_CAP,
@@ -76,10 +85,11 @@ def pad_to_bucket(arr: np.ndarray, bucket: int = EVAL_BUCKET):
     return padded, valid
 
 
-def scene_probabilities(model, state, item: dict) -> np.ndarray:
+def scene_probabilities(model, state, item: dict,
+                        bucket: int = EVAL_BUCKET) -> np.ndarray:
     """Eval-mode change probabilities for one full (unpadded) scene item."""
-    x1, valid = pad_to_bucket(item["x_t1"])
-    x2, _ = pad_to_bucket(item["x_t2"])
+    x1, _ = pad_to_bucket(item["x_t1"], bucket)
+    x2, _ = pad_to_bucket(item["x_t2"], bucket)
     probs = eval_forward(model, state.params, state.batch_stats,
                          x1[None], x2[None])
     h, w = item["x_t1"].shape[:2]
@@ -116,6 +126,21 @@ def _eval_wire_counts_jit(model, params, batch_stats, x1p, x2p, y, valid,
         return confusion_at_thresholds(yt, p, thresholds, v)
 
     return _jax.vmap(scene_counts)(probs[..., 0], y, valid)
+
+
+@_functools.lru_cache(maxsize=8)
+def _replicated_jit(fn, mesh):
+    """Re-jit a wire-counts function with REPLICATED outputs for a mesh.
+    The per-scene counts inherit the group's data-axis sharding, which on a
+    multi-PROCESS mesh spans non-addressable devices — ``np.asarray`` on
+    the host would raise. Replicated out_shardings make GSPMD all-gather
+    the tiny (B, n_thresholds) counts at program end so every process holds
+    them fully. lru_cache: one jit object (and hence one XLA cache) per
+    (fn, mesh), not per eval pass."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return _jax.jit(fn, static_argnames=("model",),
+                    out_shardings=NamedSharding(mesh, P()))
 
 
 def _shard_group(arrs: tuple, mesh) -> tuple:
@@ -161,7 +186,13 @@ def _stream_wire_groups(ds, bucket: int, keys: tuple, run_group, accumulate,
     result; ``accumulate(result)`` fetches + folds it on host (float64).
     ``group_scale`` divides :func:`eval_group_limit`'s memory envelope for
     dispatches that hold more live bytes per scene than the plain
-    change-head forward the envelope was measured on."""
+    change-head forward the envelope was measured on. The envelope is
+    PER-CHIP, so with a mesh the group target scales by the data-axis size:
+    each chip still holds at most the measured envelope, full groups need
+    no zero-scene padding, and utilization stays flat as devices grow."""
+    from .parallel.mesh import data_axis_size
+
+    n_data = 1 if mesh is None else data_axis_size(mesh)
     pending: dict = {}
     inflight: list = []
 
@@ -181,7 +212,7 @@ def _stream_wire_groups(ds, bucket: int, keys: tuple, run_group, accumulate,
         shape = wire['x1'].shape[1:]
         group = pending.setdefault(wire['x1'].shape, [])
         group.append(wire)
-        if len(group) >= max(1, eval_group_limit(shape) // group_scale):
+        if len(group) >= max(1, eval_group_limit(shape) // group_scale) * n_data:
             dispatch(group)  # consumes synchronously (np.stack copies)
             group.clear()
     for group in pending.values():
@@ -198,9 +229,11 @@ def _measure_wired(model, state, ds, measurer,
     dispatch (:func:`_eval_wire_counts_jit`) and float64 host
     accumulation."""
     thr = np.asarray(measurer.thresholds)
+    counts_fn = _eval_wire_counts_jit if mesh is None or mesh.size <= 1 \
+        else _replicated_jit(_eval_wire_counts_jit.__wrapped__, mesh)
     _stream_wire_groups(
         ds, bucket, ('x1', 'x2', 'y', 'valid'),
-        run_group=lambda arrs: _eval_wire_counts_jit(
+        run_group=lambda arrs: counts_fn(
             model, state.params, state.batch_stats, *arrs, thr),
         accumulate=lambda counts: measurer.add_counts(
             *(np.asarray(a, np.float64).sum(axis=0) for a in counts)),
@@ -223,9 +256,8 @@ def run_measurer(model, state, ds, thresholds,
     per-scene dispatch; item lists and cache-disabled datasets use the
     item path below."""
     measurer = MultiThresholdMetric(thresholds)
-    if batch_scenes and getattr(ds, 'eval_wire', None) is not None \
-            and getattr(ds, 'cache', None) is not None and ds.cache.enabled \
-            and getattr(ds, 'no_augmentations', False):
+    if batch_scenes and getattr(ds, 'supports_eval_wire', None) is not None \
+            and ds.supports_eval_wire():
         return _measure_wired(model, state, ds, measurer, bucket, mesh)
 
     def flush(chunk: list) -> None:
@@ -279,9 +311,8 @@ def model_evaluation(model, state, cfg, run_type: str, epoch: float,
     ds = MultimodalCDDataset(cfg, run_type, no_augmentations=True,
                              dataset_mode='first_last', disable_multiplier=True,
                              disable_unlabeled=True)
-    bucket = int(cfg.TRAINER.get('EVAL_PAD_MULTIPLE', EVAL_BUCKET))
-    measurer = run_measurer(model, state, ds, thresholds, bucket=bucket,
-                            mesh=mesh)
+    measurer = run_measurer(model, state, ds, thresholds,
+                            bucket=eval_bucket(cfg), mesh=mesh)
     f1, precision, recall = _summarize(measurer)
     wandb_compat.log({
         f'{run_type} F1': f1,
@@ -318,9 +349,22 @@ def sharded_scene_probabilities(model, state, item: dict, mesh) -> np.ndarray:
     x1, _ = pad_to_bucket(item["x_t1"])
     x2, _ = pad_to_bucket(item["x_t2"])
     if x1.shape[0] % mesh.size:
-        bucket = EVAL_BUCKET * mesh.size
-        x1, _ = pad_to_bucket(item["x_t1"], bucket)
-        x2, _ = pad_to_bucket(item["x_t2"], bucket)
+        # non-power-of-two meshes only (1/2/4/.../64 always divide the
+        # 64-multiple height): pad the HEIGHT to lcm(bucket, mesh) — width
+        # needs no mesh divisibility, and lcm keeps the zero border at its
+        # minimum (EVAL_BUCKET * mesh.size would pad both axes and deepen
+        # the padded-edge prediction delta beyond the measured envelope)
+        import math
+
+        hp = -(-x1.shape[0] // math.lcm(EVAL_BUCKET, mesh.size)) \
+            * math.lcm(EVAL_BUCKET, mesh.size)
+
+        def pad_h(a):
+            out = np.zeros((hp,) + a.shape[1:], a.dtype)
+            out[:a.shape[0]] = a
+            return out
+
+        x1, x2 = pad_h(x1), pad_h(x2)
     # height over EVERY mesh axis — on a 2-D (data, space) mesh all devices
     # still split the one scene, consistent with the mesh.size padding above
     row_sharding = NamedSharding(mesh, P(None, tuple(mesh.axis_names)))
@@ -344,11 +388,12 @@ def _dualtask_forward(model, variables, a, b):
             sig(logits_change_sem))
 
 
-def dualtask_scene_outputs(model, state, item: dict) -> dict:
+def dualtask_scene_outputs(model, state, item: dict,
+                           bucket: int = EVAL_BUCKET) -> dict:
     """All sigmoid heads of a dual-task model for one scene, plus the
     auxiliary change-from-semantics head (assessment_semantics.py:115-126)."""
-    x1, _ = pad_to_bucket(item["x_t1"])
-    x2, _ = pad_to_bucket(item["x_t2"])
+    x1, _ = pad_to_bucket(item["x_t1"], bucket)
+    x2, _ = pad_to_bucket(item["x_t2"], bucket)
     h, w = item["x_t1"].shape[:2]
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -367,8 +412,10 @@ def _dualtask_wire_counts_jit(model, params, batch_stats, x1p, x2p,
     jit`. Ships back only per-scene ``{block: (tp, fp, fn)}`` scalars for
     the three reference blocks (change / change-from-semantics / semantics,
     assessment_semantics.py:99-152), instead of four full-scene probability
-    rasters (~16 MB/1024² scene). Semantics counts pool t1 + t2 like the
-    reference's concatenated prediction list."""
+    rasters (~16 MB/1024² scene). Semantics counts are shipped per
+    TIMESTAMP (sem_t1 / sem_t2) and pooled on host in float64 — summing
+    them in float32 on device could round once a scene's dense-building
+    pixels exceed 2^23, halving the documented 2^24 per-scene envelope."""
     x1 = wire_to_nhwc(x1p).astype(jnp.float32)
     x2 = wire_to_nhwc(x2p).astype(jnp.float32)
     variables = {"params": params, "batch_stats": batch_stats}
@@ -377,12 +424,11 @@ def _dualtask_wire_counts_jit(model, params, batch_stats, x1p, x2p,
             model, variables, x1, x2))
 
     def scene(c, cs, s1, s2, y, y1, y2, v):
-        t1 = strict_confusion_counts(y1, s1, v)
-        t2 = strict_confusion_counts(y2, s2, v)
         return {
             "change": strict_confusion_counts(y, c, v),
             "change_sem": strict_confusion_counts(y, cs, v),
-            "sem": tuple(a + b for a, b in zip(t1, t2)),
+            "sem_t1": strict_confusion_counts(y1, s1, v),
+            "sem_t2": strict_confusion_counts(y2, s2, v),
         }
 
     return _jax.vmap(scene)(change, change_sem, sem1, sem2,
@@ -403,26 +449,30 @@ def dualtask_quantitative_counts(model, state, ds, bucket: int = EVAL_BUCKET,
     the reference-shaped pooled-pixel protocol, which materializes every
     probability raster on host (memory grows with the split; this path is
     O(1))."""
-    if not (getattr(ds, "eval_wire", None) is not None
-            and getattr(ds, "cache", None) is not None and ds.cache.enabled
-            and getattr(ds, "no_augmentations", False)):
+    if getattr(ds, "supports_eval_wire", None) is None \
+            or not ds.supports_eval_wire():
         return None
     totals = {k: np.zeros(3, np.float64)
               for k in ("change", "change_sem", "sem")}
 
     def accumulate(blocks: dict) -> None:
+        # sem_t1/sem_t2 pool into 'sem' here (float64) — the reference's
+        # concatenated t1+t2 prediction list, kept exact per scene
         for k, t in blocks.items():
-            totals[k] += np.array([np.asarray(a, np.float64).sum()
-                                   for a in t])
+            key = "sem" if k.startswith("sem_") else k
+            totals[key] += np.array([np.asarray(a, np.float64).sum()
+                                     for a in t])
 
     # group_scale=2: this dispatch holds roughly twice the live bytes per
     # scene of the envelope-measured change-head forward (a second decoder
     # pass through sem_change_head plus four full-res per-scene probability
     # rasters and three confusion reductions), so halve the scenes/group to
     # stay inside the measured 16x1024^2 memory envelope.
+    counts_fn = _dualtask_wire_counts_jit if mesh is None or mesh.size <= 1 \
+        else _replicated_jit(_dualtask_wire_counts_jit.__wrapped__, mesh)
     _stream_wire_groups(
         ds, bucket, ("x1", "x2", "y", "ysem1", "ysem2", "valid"),
-        run_group=lambda arrs: _dualtask_wire_counts_jit(
+        run_group=lambda arrs: counts_fn(
             model, state.params, state.batch_stats, *arrs),
         accumulate=accumulate, mesh=mesh, wire_kwargs={"sem": True},
         group_scale=2)

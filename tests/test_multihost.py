@@ -79,6 +79,25 @@ loss = float(metrics["loss"])
 checksum = float(sum(np.abs(np.asarray(jax.device_get(l))).sum()
                      for l in jax.tree_util.tree_leaves(new_state.params)))
 print(f"RESULT {pid} {loss:.10f} {checksum:.6f}", flush=True)
+
+# fused wire eval across the 2-process mesh: scene groups shard over the
+# global data axis and the per-scene counts come back REPLICATED (the
+# evaluation._replicated_jit path) so the host float64 accumulation can
+# fetch them on every process — this line crashed with a non-addressable
+# fetch before the replicated out_shardings fix.
+from multimodal_siamese_cd_tpu import evaluation
+from multimodal_siamese_cd_tpu.data.dataset import MultimodalCDDataset
+from multimodal_siamese_cd_tpu.data.synthetic import fixture_cfg_overrides
+
+cfg.merge_from_list(fixture_cfg_overrides())
+cfg.PATHS.DATASET = sys.argv[4]
+ds = MultimodalCDDataset(cfg, "validation", no_augmentations=True,
+                         dataset_mode="first_last", disable_multiplier=True,
+                         disable_unlabeled=True)
+assert ds.supports_eval_wire()
+m = evaluation.run_measurer(model, state, ds, np.asarray([0.5]), mesh=mesh)
+f1 = float(np.asarray(m.compute_f1()).max())
+print(f"EVALF1 {pid} {f1:.10f}", flush=True)
 """
 
 
@@ -92,8 +111,13 @@ def test_two_process_step_matches_single_process(tmp_path):
     from multimodal_siamese_cd_tpu.config import load_cfg
     from multimodal_siamese_cd_tpu.parallel import data_mesh
 
+    from multimodal_siamese_cd_tpu.data.synthetic import (
+        fixture_cfg_overrides, generate_fixture_dataset)
+
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)
+    fixture = tmp_path / "ds"
+    generate_fixture_dataset(fixture, seed=3)
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
 
@@ -102,7 +126,8 @@ def test_two_process_step_matches_single_process(tmp_path):
             s.bind(("localhost", 0))
             port = s.getsockname()[1]
         procs = [subprocess.Popen(
-            [sys.executable, str(worker), str(pid), str(port), str(REPO)],
+            [sys.executable, str(worker), str(pid), str(port), str(REPO),
+             str(fixture)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env) for pid in range(2)]
         results = [p.communicate(timeout=600) for p in procs]
@@ -118,12 +143,17 @@ def test_two_process_step_matches_single_process(tmp_path):
     outs = [out for out, _ in results]
 
     results = {}
+    eval_f1 = {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("RESULT"):
                 _, pid, loss, checksum = line.split()
                 results[int(pid)] = (float(loss), float(checksum))
+            elif line.startswith("EVALF1"):
+                _, pid, f1 = line.split()
+                eval_f1[int(pid)] = float(f1)
     assert set(results) == {0, 1}, outs
+    assert set(eval_f1) == {0, 1}, outs
 
     # single-process 8-device reference with identical inputs
     cfg = load_cfg("base")
@@ -151,3 +181,19 @@ def test_two_process_step_matches_single_process(tmp_path):
     for pid, (loss, checksum) in results.items():
         assert abs(loss - want_loss) < 1e-6, (pid, loss, want_loss)
         np.testing.assert_allclose(checksum, want_sum, rtol=1e-6)
+
+    # fused wire eval: single-process F1 with the same fixture/state must
+    # match what each process computed over the 2-process mesh
+    from multimodal_siamese_cd_tpu import evaluation
+    from multimodal_siamese_cd_tpu.data.dataset import MultimodalCDDataset
+
+    cfg.merge_from_list(fixture_cfg_overrides())
+    cfg.PATHS.DATASET = str(fixture)
+    ds = MultimodalCDDataset(cfg, "validation", no_augmentations=True,
+                             dataset_mode="first_last",
+                             disable_multiplier=True, disable_unlabeled=True)
+    m = evaluation.run_measurer(model, jax.device_get(state), ds,
+                                np.asarray([0.5]))
+    want_f1 = float(np.asarray(m.compute_f1()).max())
+    for pid, f1 in eval_f1.items():
+        assert abs(f1 - want_f1) < 1e-6, (pid, f1, want_f1)

@@ -527,6 +527,13 @@ def test_sharded_scene_inference_matches_single_device(cfg):
     mesh = data_mesh()
     sharded = evaluation.sharded_scene_probabilities(model, state, item, mesh)
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+    # non-power-of-two mesh: the 64-padded height is not divisible by 3, so
+    # the lcm(64, 3) height-only re-pad path runs; results must still match
+    # the single-device forward on the valid region
+    mesh3 = data_mesh(jax.devices()[:3])
+    sharded3 = evaluation.sharded_scene_probabilities(model, state, item,
+                                                      mesh3)
+    np.testing.assert_allclose(sharded3, single, rtol=1e-5, atol=1e-6)
 
 
 def test_batched_eval_matches_per_scene(cfg):
