@@ -81,6 +81,14 @@ class TrainLoader:
         self._epoch = 0
         self._proc_pool = None
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the epoch counter that seeds each epoch's shuffle order
+        and crop randomness (SeedSequence([seed, epoch])). A resumed run
+        calls this with the number of epochs already trained so the data
+        schedule continues where the unbroken run would be, instead of
+        replaying epoch 0's batches."""
+        self._epoch = int(epoch)
+
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.drop_last:

@@ -309,24 +309,34 @@ def _reduce_window_metrics(metrics: dict) -> dict:
     gradient-accumulation micro-batches) to one scalar set. Semi-supervised
     component losses average only over entries where their partition was
     present (a plain mean would dilute them toward 0 — the reference's
-    window protocol, train_semisupervised.py:85-106); counts are sums."""
-    if "n_labeled" in metrics:
-        has_lab = metrics["n_labeled"] > 0
-        has_unl = metrics["n_notlabeled"] > 0
+    window protocol, train_semisupervised.py:85-106); counts are sums.
 
-        def masked(key, mask):
-            return jnp.sum(metrics[key] * mask) / jnp.maximum(
-                jnp.sum(mask), 1.0)
+    The reduction is WEIGHTED by each entry's leaf-batch presence count
+    (``n_lab_steps``/``n_notlab_steps``: how many underlying batches had the
+    partition — 0/1 for plain entries, up to ``a`` for grad-accum entries).
+    Weighted means of weighted means with summed weights compose exactly,
+    so nesting (accum inside scan inside the trainer's log window) always
+    reproduces the reference's flat per-batch average."""
+    if "n_labeled" in metrics:
+        w_lab = metrics.get("n_lab_steps",
+                            (metrics["n_labeled"] > 0).astype(jnp.float32))
+        w_unl = metrics.get("n_notlab_steps",
+                            (metrics["n_notlabeled"] > 0).astype(jnp.float32))
+
+        def wmean(key, w):
+            return jnp.sum(metrics[key] * w) / jnp.maximum(jnp.sum(w), 1.0)
 
         return {
             "loss": jnp.mean(metrics["loss"]),
-            "sup_loss": masked("sup_loss", has_lab),
-            "cons_loss": masked("cons_loss", has_unl),
-            "fusion_loss": masked("fusion_loss", has_lab),
-            "stream1_loss": masked("stream1_loss", has_lab),
-            "stream2_loss": masked("stream2_loss", has_lab),
+            "sup_loss": wmean("sup_loss", w_lab),
+            "cons_loss": wmean("cons_loss", w_unl),
+            "fusion_loss": wmean("fusion_loss", w_lab),
+            "stream1_loss": wmean("stream1_loss", w_lab),
+            "stream2_loss": wmean("stream2_loss", w_lab),
             "n_labeled": jnp.sum(metrics["n_labeled"]),
             "n_notlabeled": jnp.sum(metrics["n_notlabeled"]),
+            "n_lab_steps": jnp.sum(w_lab),
+            "n_notlab_steps": jnp.sum(w_unl),
         }
     return jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), metrics)
 

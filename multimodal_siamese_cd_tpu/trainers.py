@@ -66,6 +66,14 @@ def _training_mesh(cfg):
               f"SPATIAL_SHARDS={n_space}; falling back to data-parallel")
     mesh = data_mesh()
     if cfg.TRAINER.BATCH_SIZE % mesh.size != 0:
+        if jax.process_count() > 1:
+            # the single-device fallback would pin every process to the
+            # GLOBAL device 0 — non-addressable from processes 1..N-1 —
+            # and crash obscurely at the first device_put; fail loudly
+            raise ValueError(
+                f"TRAINER.BATCH_SIZE={cfg.TRAINER.BATCH_SIZE} is not "
+                f"divisible by the {mesh.size}-device global mesh of this "
+                f"{jax.process_count()}-process run; pick a divisible batch")
         print(f"warning: batch {cfg.TRAINER.BATCH_SIZE} not divisible by "
               f"{mesh.size} devices; running single-device")
         mesh = data_mesh(jax.devices()[:1])
@@ -113,7 +121,7 @@ class ProfilerHook:
             self.active = False
 
 
-def measure_dispatch_latency_ms() -> float:
+def measure_dispatch_latency_ms(wedge_timeout: float = 900.0) -> float:
     """Per-call dispatch latency of a tiny jitted op, in milliseconds.
 
     On remote-attached backends (the tunneled axon TPU) each dispatch costs
@@ -121,12 +129,33 @@ def measure_dispatch_latency_ms() -> float:
     tens of microseconds. ``block_until_ready`` resolves before execution
     finishes on such backends, so timing is anchored on a host fetch: the
     difference between (21 chained dispatches + 1 fetch) and (1 dispatch +
-    1 fetch) isolates 20 dispatches."""
+    1 fetch) isolates 20 dispatches.
+
+    A wedged tunnel hangs the very first dispatch+fetch forever (observed
+    outage mode, see bench.py's watchdog) — since this probe is the first
+    device contact of every 'auto' trainer run, it arms its own watchdog:
+    no completed warmup fetch within ``wedge_timeout`` (healthy worst case
+    ~100 s warmup) aborts loudly instead of hanging the CLI silently."""
+    import os
+    import sys
+    import threading
+
     import jax.numpy as jnp
 
+    ready = threading.Event()
+
+    def watch():
+        if not ready.wait(wedge_timeout):
+            print(f"TRAINER WEDGED: no completed device fetch after "
+                  f"{wedge_timeout:.0f}s — accelerator backend unreachable "
+                  f"(tunnel down?); aborting", file=sys.stderr, flush=True)
+            os._exit(2)
+
+    threading.Thread(target=watch, daemon=True).start()
     f = jax.jit(lambda x: x + 1.0)
     x = jnp.zeros((), jnp.float32)
     float(f(x))  # compile + first round trip
+    ready.set()
 
     def timed(n: int) -> float:
         t0 = timeit.default_timer()
@@ -162,7 +191,7 @@ def auto_steps_per_execution(log_freq: int, steps_per_epoch: int,
     return max((d for d in range(1, max_k + 1) if g % d == 0), default=1)
 
 
-def _execution_plan(cfg, model, regime, mesh, loader):
+def _execution_plan(cfg, model, regime, mesh, loader, start_step: int = 0):
     """Resolve STEPS_PER_EXECUTION: returns (k, step_fn, sharding_spec).
 
     k > 1 fuses k optimizer steps into one dispatch via lax.scan
@@ -170,7 +199,10 @@ def _execution_plan(cfg, model, regime, mesh, loader):
     is material (remote-attached TPUs). The default 'auto' probes dispatch
     latency at trainer start and picks k itself; an explicit integer is
     honored, falling back to 1 when DEBUG or when the epoch/log cadence does
-    not divide evenly."""
+    not divide evenly. A resumed ``start_step`` that is not a multiple of k
+    also forces k=1: global_step advances in strides of k, so a misaligned
+    start would make ``global_step % LOG_FREQ == 0`` unreachable and
+    silently disable every in-epoch eval and loss log of the resumed run."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from .parallel.mesh import DATA_AXIS
@@ -201,6 +233,11 @@ def _execution_plan(cfg, model, regime, mesh, loader):
                   f'steps/epoch={len(loader)} or LOG_FREQ={cfg.LOG_FREQ}; '
                   f'using 1')
             k = 1
+    if k > 1 and start_step % k != 0:
+        print(f'warning: resume step {start_step} is not a multiple of '
+              f'STEPS_PER_EXECUTION={k}; using 1 so the LOG_FREQ cadence '
+              f'stays reachable')
+        k = 1
     from .parallel.mesh import wire_sharding
 
     if k <= 1:
@@ -240,28 +277,60 @@ def _mean(values: list) -> float:
     return float(np.mean([float(v) for v in values])) if values else 0.0
 
 
-def _semisup_window_means(sets: dict, label_counts: list) -> dict:
-    """Fetch the window's device scalars once and reduce with the reference's
-    protocol (train_semisupervised.py:85-106): supervised component losses
-    average only over batches that HAD labeled rows, the consistency loss
-    only over batches that had unlabeled rows (our step emits 0 for the
-    absent partition, which must not bias the mean toward 0)."""
-    n_lab = np.array([float(a) for a, _ in label_counts])
-    n_unl = np.array([float(b) for _, b in label_counts])
-    has_lab = n_lab > 0
-    has_unl = n_unl > 0
+def _fetch_window(sets: dict, label_counts: list) -> tuple[dict, list]:
+    """Gather a log window's device scalars in ONE stack + ONE host fetch.
+    Fetching them one ``float()`` at a time costs a serial ~25 ms RTT each
+    on the tunneled backend — ~40 round trips (≈1 s) per semisup log window
+    at the production cadence; the stacked fetch is 2 round trips total."""
+    import jax.numpy as jnp
 
-    def masked_mean(key, mask):
+    flat = [v for k in sets for v in sets[k]]
+    flat += [x for row in label_counts for x in row]
+    if not flat:
+        return sets, label_counts
+    stacked = np.asarray(jnp.stack([jnp.asarray(v) for v in flat]))
+    out, i = {}, 0
+    for k in sets:
+        out[k] = list(stacked[i:i + len(sets[k])])
+        i += len(sets[k])
+    rows = []
+    for row in label_counts:
+        rows.append(tuple(stacked[i:i + len(row)]))
+        i += len(row)
+    return out, rows
+
+
+def _semisup_window_means(sets: dict, label_counts: list) -> dict:
+    """Reduce the window's scalars with the reference's protocol
+    (train_semisupervised.py:85-106): supervised component losses average
+    only over batches that HAD labeled rows, the consistency loss only over
+    batches that had unlabeled rows (our step emits 0 for the absent
+    partition, which must not bias the mean toward 0).
+
+    ``label_counts`` rows are (n_labeled, n_notlabeled[, w_lab, w_unl]);
+    the optional weights carry how many LEAF batches inside a scan-fused /
+    grad-accum entry had each partition, so the cross-window reduction
+    stays the reference's flat per-batch average (a window with one labeled
+    batch must not weigh as much as a window with k of them). Rows without
+    weights fall back to 0/1 presence — the exact per-batch case."""
+    n_lab = np.array([float(r[0]) for r in label_counts])
+    n_unl = np.array([float(r[1]) for r in label_counts])
+    w_lab = np.array([float(r[2]) if len(r) > 2 else float(r[0] > 0)
+                      for r in label_counts])
+    w_unl = np.array([float(r[3]) if len(r) > 3 else float(r[1] > 0)
+                      for r in label_counts])
+
+    def weighted_mean(key, w):
         vals = np.array([float(v) for v in sets[key]])
-        return float(vals[mask].mean()) if mask.any() else 0.0
+        return float((vals * w).sum() / w.sum()) if w.sum() > 0 else 0.0
 
     total = n_lab.sum() + n_unl.sum()
     return {
-        'fusion_loss': masked_mean('fusion_loss', has_lab),
-        'stream1_loss': masked_mean('stream1_loss', has_lab),
-        'stream2_loss': masked_mean('stream2_loss', has_lab),
-        'sup_loss': masked_mean('sup_loss', has_lab),
-        'cons_loss': masked_mean('cons_loss', has_unl),
+        'fusion_loss': weighted_mean('fusion_loss', w_lab),
+        'stream1_loss': weighted_mean('stream1_loss', w_lab),
+        'stream2_loss': weighted_mean('stream2_loss', w_lab),
+        'sup_loss': weighted_mean('sup_loss', w_lab),
+        'cons_loss': weighted_mean('cons_loss', w_unl),
         'loss': _mean(sets['loss']),
         'labeled_percentage':
             float(n_lab.sum()) / max(total, 1.0) * 100,
@@ -293,6 +362,7 @@ _REGIMES = {
 def _window_summary(regime: str, sets: dict, label_counts: list) -> dict:
     """Reduce a log window's device scalars to the regime's wandb payload
     (metric names and order match the reference scripts)."""
+    sets, label_counts = _fetch_window(sets, label_counts)
     if regime == 'semisupervised':
         return _semisup_window_means(sets, label_counts)
     if regime == 'dualtask':
@@ -318,14 +388,39 @@ def run_training(cfg, regime: str) -> None:
     epochs = cfg.TRAINER.EPOCHS
     save_checkpoints = cfg.SAVE_CHECKPOINTS
     steps_per_epoch = len(loader)
+    if steps_per_epoch == 0:
+        raise ValueError(
+            f"empty training loader: {len(loader.dataset)} samples < "
+            f"TRAINER.BATCH_SIZE={cfg.TRAINER.BATCH_SIZE} with drop_last — "
+            f"shrink the batch or raise DATALOADER.TRAINING_MULTIPLIER")
     k_exec, step_fn, stream_sharding = _execution_plan(
-        cfg, model, regime, mesh, loader)
+        cfg, model, regime, mesh, loader, start_step)
 
     global_step, epoch_float = start_step, 0
-    start_epoch = start_step // max(steps_per_epoch, 1)
+    start_epoch = start_step // steps_per_epoch
     if start_epoch:
         print(f'resuming at epoch {start_epoch + 1} '
               f'(step {start_step}, {steps_per_epoch} steps/epoch)')
+        # an unbroken run would have consumed start_epoch loader epochs;
+        # advancing the counter keeps the resumed shuffle/crop sequence on
+        # the SAME schedule instead of replaying epochs 1..start_epoch
+        loader.set_epoch(start_epoch)
+    try:
+        _run_epochs(cfg, regime, spec, mesh, model, state, rng, loader,
+                    epochs, save_checkpoints, steps_per_epoch, k_exec,
+                    step_fn, stream_sharding, profiler, global_step,
+                    start_step, start_epoch)
+    finally:
+        # shut the worker pool down (a lingering ProcessPoolExecutor keeps
+        # dataset/memmap copies alive and competes with post-training work)
+        loader.close()
+        profiler.close()
+
+
+def _run_epochs(cfg, regime, spec, mesh, model, state, rng, loader, epochs,
+                save_checkpoints, steps_per_epoch, k_exec, step_fn,
+                stream_sharding, profiler, global_step, start_step,
+                start_epoch) -> None:
     for epoch in range(start_epoch + 1, epochs + 1):
         print(f'Starting epoch {epoch}/{epochs}.')
         start = timeit.default_timer()
@@ -338,7 +433,13 @@ def run_training(cfg, regime: str) -> None:
             for k in sets:
                 sets[k].append(m[k])
             if spec['track_labels']:
-                label_counts.append((m['n_labeled'], m['n_notlabeled']))
+                # weights: leaf-batch presence counts when the entry is a
+                # scan/accum window (n_lab_steps), else 0/1 presence — see
+                # _semisup_window_means
+                label_counts.append(
+                    (m['n_labeled'], m['n_notlabeled'],
+                     m.get('n_lab_steps', m['n_labeled'] > 0),
+                     m.get('n_notlab_steps', m['n_notlabeled'] > 0)))
 
             global_step += k_exec
             profiler.step(global_step)
@@ -380,8 +481,6 @@ def run_training(cfg, regime: str) -> None:
         if epoch in save_checkpoints and (spec['ckpt_in_debug'] or not cfg.DEBUG):
             print('saving network', flush=True)
             checkpoints.save_checkpoint(state, epoch, global_step, cfg)
-
-    profiler.close()
 
 
 def run_supervised(cfg) -> None:

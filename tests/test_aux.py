@@ -51,6 +51,65 @@ def test_create_without_resume(cfg):
     assert start_step == 0
 
 
+def test_loader_set_epoch_continues_schedule(cfg):
+    """A resumed run must continue the data schedule, not replay it:
+    set_epoch(n) makes the next iteration draw epoch n's shuffle order —
+    identical to what an unbroken run's (n+1)-th epoch would see."""
+    from multimodal_siamese_cd_tpu.data.dataset import MultimodalCDDataset
+    from multimodal_siamese_cd_tpu.data.loader import TrainLoader
+
+    ds = MultimodalCDDataset(cfg, "training", return_stack=True,
+                             crop_only=True)
+
+    def loader():
+        return TrainLoader(ds, batch_size=2, shuffle=True, drop_last=True,
+                           num_workers=0, seed=cfg.SEED)
+
+    unbroken = loader()
+    for _ in range(3):  # consume epochs 0..2
+        list(unbroken)
+    want = [b["stack"] for b in unbroken]           # epoch 3
+
+    resumed = loader()
+    resumed.set_epoch(3)
+    got = [b["stack"] for b in resumed]
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+    # and epoch 3's order differs from a replayed epoch 0
+    replay = [b["stack"] for b in loader()]
+    assert any(not np.array_equal(a, b) for a, b in zip(want, replay))
+
+
+def test_execution_plan_realigns_on_misaligned_resume(cfg, capsys):
+    """A resume step that is not a multiple of the scan window k would make
+    global_step % LOG_FREQ == 0 unreachable (evals and loss logs silently
+    never fire); the plan must fall back to k=1."""
+    from multimodal_siamese_cd_tpu.data.loader import TrainLoader
+    from multimodal_siamese_cd_tpu.data.dataset import MultimodalCDDataset
+    from multimodal_siamese_cd_tpu.trainers import _execution_plan
+    from multimodal_siamese_cd_tpu.parallel import data_mesh
+
+    cfg.DEBUG = False
+    cfg.LOG_FREQ = 100
+    cfg.TRAINER.STEPS_PER_EXECUTION = 4
+    cfg.DATALOADER.TRAINING_MULTIPLIER = 8
+    ds = MultimodalCDDataset(cfg, "training", return_stack=True,
+                             crop_only=True)
+    loader = TrainLoader(ds, batch_size=2, shuffle=True, drop_last=True,
+                         num_workers=0, seed=cfg.SEED)
+    assert len(loader) % 4 == 0
+    model, _ = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    mesh = data_mesh(jax.devices()[:1])
+    k, _, _ = _execution_plan(cfg, model, "supervised", mesh, loader,
+                              start_step=0)
+    assert k == 4
+    k, _, _ = _execution_plan(cfg, model, "supervised", mesh, loader,
+                              start_step=10)
+    assert k == 1
+    assert "not a multiple" in capsys.readouterr().out
+
+
 def test_profiler_hook_noop_without_dir(cfg):
     hook = ProfilerHook(cfg)
     for step in range(50):
