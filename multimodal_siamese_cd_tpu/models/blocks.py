@@ -72,10 +72,8 @@ class InConv(nn.Module):
 
 
 def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
-    """2x2/2 max pool. Odd trailing rows/cols are dropped, matching torch
-    MaxPool2d(2) floor semantics (reference networks.py:420)."""
-    h, w = x.shape[1] - x.shape[1] % 2, x.shape[2] - x.shape[2] % 2
-    x = x[:, :h, :w]
+    """2x2/2 max pool. VALID padding drops odd trailing rows/cols, matching
+    torch MaxPool2d(2) floor semantics (reference networks.py:420)."""
     return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 

@@ -338,10 +338,13 @@ class SiamUnetDiff(nn.Module):
                 x = max_pool_2x2(x)
             return x, skips
 
-        x1p, skips1 = encode(x_t1)
-        _, skips2 = encode(x_t2)
+        _, skips1 = encode(x_t1)
+        x2p, skips2 = encode(x_t2)
 
-        x = x1p
+        # the decoder consumes the T2 bottleneck: the reference reassigns
+        # x4p during the second (x_t2) encoding pass before Stage 4d
+        # (reference networks.py:602 vs :625-628)
+        x = x2p
         dec_widths = [(128, [128, 128, 64]), (64, [64, 64, 32]),
                       (32, [32, 16]), (16, [16, None])]
         for s, (up_w, convs) in enumerate(dec_widths):

@@ -127,18 +127,21 @@ def packed_max_pool(xp: jnp.ndarray) -> jnp.ndarray:
     """2x2/s2 max pool of the packed input -> standard (unpacked) layout.
 
     Vertical reduction = channel max over the two packed groups; horizontal
-    = (1,2)/s(1,2) window. Odd trailing columns are dropped (torch floor
-    semantics, like blocks.max_pool_2x2)."""
+    = (1,2)/s(1,2) window; VALID padding drops odd trailing columns (torch
+    floor semantics, like blocks.max_pool_2x2)."""
     c = xp.shape[-1] // 2
     v = jnp.maximum(xp[..., :c], xp[..., c:])
-    w = v.shape[2] - v.shape[2] % 2
-    v = v[:, :, :w]
     return nn.max_pool(v, (1, 2), strides=(1, 2))
 
 
 def packed_concat(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Packed representation of channel-concat(A, B): group-wise reorder
-    [a0, b0, a1, b1] (packed channels are di-major)."""
+    [a0, b0, a1, b1] (packed channels are di-major).
+
+    REFERENCE IMPLEMENTATION ONLY (kept for tests/test_packed.py): the
+    production blocks use the weight-split logical concat instead — this
+    materialized reorder measured 4.7x slower on the chip (64-lane
+    shuffles; BASELINE.md). Do not wire into a model path."""
     ca, cb = a.shape[-1] // 2, b.shape[-1] // 2
     return jnp.concatenate(
         [a[..., :ca], b[..., :cb], a[..., ca:], b[..., cb:]], axis=-1)
@@ -229,11 +232,15 @@ class PackedBatchNorm(nn.Module):
                 ra_var.value = (self.momentum * ra_var.value
                                 + (1 - self.momentum) * var)
 
-        # mirror flax nn.BatchNorm's arithmetic order exactly:
-        # y = (x - mean) * (scale * rsqrt(var + eps)) + bias
-        mul = (scale * lax.rsqrt(var + self.epsilon)).astype(self.dtype)
-        return ((xp.astype(self.dtype) - jnp.tile(mean, 2).astype(self.dtype))
-                * jnp.tile(mul, 2) + jnp.tile(bias, 2).astype(self.dtype))
+        # mirror flax nn.BatchNorm's arithmetic exactly: _normalize runs the
+        # whole (x - mean) * (scale * rsqrt(var + eps)) + bias chain in the
+        # PROMOTED f32 (params/stats are f32) and casts ONCE at the end —
+        # computing the affine in bf16 diverged from the unpacked path by
+        # up to 0.03 on unit-scale activations in the production precision
+        mul = scale * lax.rsqrt(var + self.epsilon)
+        y = ((xp.astype(jnp.float32) - jnp.tile(mean, 2))
+             * jnp.tile(mul, 2) + jnp.tile(bias, 2))
+        return y.astype(self.dtype)
 
 
 class PackedDoubleConv(nn.Module):

@@ -19,9 +19,11 @@ GOLDEN = {
     "whatevernet": (0.00967572, 0.02863489, 0.05155794),
     "whatevernet2": (0.04709278, 0.03764550, 0.06501409),
     # regenerated after the round-3 upsampler phase fix (ConvTranspose
-    # 'SAME' k3 s2 was one pixel off torch's p1/op1 — see
-    # test_torch_parity.test_siamunet_diff_forward_parity)
-    "siamunet_diff": (0.03152154, 0.04590928, -0.08036338),
+    # 'SAME' k3 s2 was one pixel off torch's p1/op1) and the late-round-3
+    # t2-bottleneck fix (the decoder consumes x_t2's pooled bottleneck,
+    # reference networks.py:625-628) — see
+    # test_torch_parity.test_siamunet_diff_forward_parity
+    "siamunet_diff": (0.03152155, 0.04590927, -0.08036278),
 }
 
 

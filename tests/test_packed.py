@@ -91,6 +91,30 @@ def test_packed_matches_unpacked(model_type):
                                    err_msg=str(path))
 
 
+def test_packed_matches_unpacked_bf16():
+    """The packed path must track the unpacked one in the PRODUCTION bf16
+    precision too. Residual divergence is conv-accumulation reassociation
+    (a few bf16 ulps of the logit scale, ~1% here); the old bf16
+    PackedBatchNorm affine (flax computes the normalize chain in promoted
+    f32 and rounds ONCE) diverged ~31% of scale and fails this bound."""
+    c_std, c_pk = _cfg("siameseunet", packed=False), _cfg("siameseunet",
+                                                          packed=True)
+    c_std.TRAINER.PRECISION = "bf16"
+    c_pk.TRAINER.PRECISION = "bf16"
+    m_std, m_pk = create_network(c_std), create_network(c_pk)
+    variables = init_variables(m_std, c_std, jax.random.PRNGKey(3))
+    rng = np.random.default_rng(11)
+    x1 = jnp.asarray(rng.uniform(size=(2, 32, 32, 6)), jnp.float32)
+    x2 = jnp.asarray(rng.uniform(size=(2, 32, 32, 6)), jnp.float32)
+    a, _ = m_std.apply(variables, x1, x2, train=True,
+                       mutable=["batch_stats"])
+    b, _ = m_pk.apply(variables, x1, x2, train=True, mutable=["batch_stats"])
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    scale = np.abs(a).max()
+    assert np.abs(a - b).max() <= 0.05 * scale
+
+
 def test_packed_matches_unpacked_odd_width():
     """Odd WIDTH stays on the packed path (only even height is required):
     the encoder pool drops the trailing column and Up pads the upsampled map

@@ -641,6 +641,43 @@ def test_siamunet_diff_forward_parity(ref_networks):
     np.testing.assert_allclose(np.asarray(j_out)[..., 0],
                                t_out.numpy()[:, 0], atol=2e-5, rtol=1e-4)
 
+    # SIGNAL-PRESERVING pass: _randomize's U(-0.2,0.2) BN scales attenuate
+    # input signal ~8x per layer, so the 11-layer encoder's bottleneck is
+    # numerically input-independent and the tolerance above cannot see deep
+    # TEMPORAL wiring (the t1-vs-t2 bottleneck swap this caught). Re-run
+    # with BN scales near 1 so the bottleneck carries signal, and pin the
+    # asymmetry: swapping the inputs must change the output materially.
+    gen = torch.Generator().manual_seed(62)
+    with torch.no_grad():
+        for name, p in tnet.named_parameters():
+            if "bn" in name and name.endswith("weight"):
+                p.copy_(torch.empty_like(p).uniform_(0.9, 1.1, generator=gen))
+            elif name.endswith("bias"):
+                p.copy_(torch.empty_like(p).uniform_(-0.1, 0.1, generator=gen))
+            else:
+                fan_in = max(int(np.prod(p.shape[1:])), 1)
+                p.copy_(torch.empty_like(p).normal_(
+                    0, (2.0 / fan_in) ** 0.5, generator=gen))
+        for name, b in tnet.named_buffers():
+            if name.endswith("running_mean"):
+                b.copy_(torch.empty_like(b).uniform_(-0.1, 0.1, generator=gen))
+            elif name.endswith("running_var"):
+                b.copy_(torch.empty_like(b).uniform_(0.9, 1.1, generator=gen))
+    tnet.eval()
+    variables = torch_port.port_siamunet_diff_state_dict(
+        tnet.state_dict(), variables)
+    with torch.no_grad():
+        t_out = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()[:, 0]
+    j_out = np.asarray(model.apply(variables, x_t1, x_t2,
+                                   train=False))[..., 0]
+    j_swap = np.asarray(model.apply(variables, x_t2, x_t1,
+                                    train=False))[..., 0]
+    scale = max(np.abs(t_out).max(), 1e-6)
+    np.testing.assert_allclose(j_out, t_out, atol=1e-4 * max(scale, 1.0),
+                               rtol=1e-4)
+    assert np.abs(j_swap - t_out).max() > 1e-3 * scale, \
+        "swapped-input forward matches torch: temporal wiring is invisible"
+
 
 def test_import_torch_checkpoint_cli(ref_networks, tmp_path, monkeypatch):
     """End-to-end migration path: a reference-format .pt checkpoint
