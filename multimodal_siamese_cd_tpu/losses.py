@@ -35,13 +35,19 @@ def _flat_masked(y: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.ndarray:
 
 
 def _mask_count(shape, mask) -> jnp.ndarray:
-    """Number of selected elements (for mean-type losses)."""
-    per_sample = 1
-    for d in shape[1:]:
-        per_sample *= d
+    """Number of selected elements (for mean-type losses). Each mask entry
+    covers the axes it does NOT span (``_flat_masked`` broadcasts the same
+    way), so a (B,) per-sample mask counts H*W*C elements per selected
+    sample and a (B,H,W) spatial mask counts C per selected pixel."""
     if mask is None:
-        return jnp.asarray(shape[0] * per_sample, jnp.float32)
-    return jnp.sum(mask.astype(jnp.float32)) * per_sample
+        count = 1
+        for d in shape:
+            count *= d
+        return jnp.asarray(count, jnp.float32)
+    per_entry = 1
+    for d in shape[mask.ndim:]:
+        per_entry *= d
+    return jnp.sum(mask.astype(jnp.float32)) * per_entry
 
 
 # --- binary criteria (sigmoid inside) ----------------------------------------
@@ -158,10 +164,19 @@ def cross_entropy_loss(y_logit, y_true, mask=None,
     sum(w[t]*nll) / sum(w[t])."""
     weights = jnp.asarray([negative_weight, positive_weight], y_logit.dtype)
     n_cls = y_logit.shape[-1]
+    if n_cls < 2:
+        # a 1-channel softmax is identically 1 and class index 1 would clip
+        # — the reference's torch path fails the same way; fail clearly
+        raise ValueError(
+            "CrossEntropyLoss needs multi-class logits (C >= 2, got "
+            f"{n_cls}); the binary change heads use BCEWithLogitsLoss / "
+            "the Jaccard-family losses")
     if n_cls > 2:
         weights = jnp.concatenate(
             [weights, jnp.ones((n_cls - 2,), y_logit.dtype)])
     logp = jnn.log_softmax(y_logit, axis=-1)
+    if y_true.ndim == y_logit.ndim and y_true.shape[-1] == 1:
+        y_true = y_true[..., 0]  # accept the trainers' (..., 1) label plane
     y_idx = y_true.astype(jnp.int32)
     nll = -jnp.take_along_axis(logp, y_idx[..., None], axis=-1)[..., 0]
     w = weights[y_idx]
@@ -173,6 +188,11 @@ def cross_entropy_loss(y_logit, y_true, mask=None,
 
 def soft_dice_loss_multi_class(y_logit, y_true, mask=None):
     """reference loss_functions.py:59-69 (sum dims are batch+spatial)."""
+    return 1.0 - jnp.mean(_soft_dice_multi_class_terms(y_logit, y_true, mask))
+
+
+def _soft_dice_multi_class_terms(y_logit, y_true, mask):
+    """Shared per-class dice terms of the two multi-class dice losses."""
     p = jnn.softmax(y_logit, axis=-1)
     if mask is not None:
         m = mask.reshape(mask.shape + (1,) * (p.ndim - mask.ndim)).astype(p.dtype)
@@ -181,22 +201,13 @@ def soft_dice_loss_multi_class(y_logit, y_true, mask=None):
     intersection = jnp.sum(y_true * p, axis=sum_dims)
     denom = jnp.clip(jnp.sum(y_true, axis=sum_dims) + jnp.sum(p, axis=sum_dims),
                      EPS, None)
-    return 1.0 - jnp.mean(2.0 * intersection / denom)
+    return 2.0 * intersection / denom
 
 
 def soft_dice_loss_multi_class_debug(y_logit, y_true, mask=None):
     """reference loss_functions.py:72-83 — also returns per-class terms."""
-    p = jnn.softmax(y_logit, axis=-1)
-    if mask is not None:
-        m = mask.reshape(mask.shape + (1,) * (p.ndim - mask.ndim)).astype(p.dtype)
-        p, y_true = p * m, y_true * m
-    sum_dims = tuple(range(y_logit.ndim - 1))
-    intersection = jnp.sum(y_true * p, axis=sum_dims)
-    denom = jnp.clip(jnp.sum(y_true, axis=sum_dims) + jnp.sum(p, axis=sum_dims),
-                     EPS, None)
-    loss = 1.0 - jnp.mean(2.0 * intersection / denom)
-    loss_components = 1.0 - 2.0 * intersection / denom
-    return loss, loss_components
+    dice = _soft_dice_multi_class_terms(y_logit, y_true, mask)
+    return 1.0 - jnp.mean(dice), 1.0 - dice
 
 
 def generalized_soft_dice_loss_multi_class(y_logit, y_true, mask=None):

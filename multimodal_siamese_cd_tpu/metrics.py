@@ -48,10 +48,10 @@ class MultiThresholdMetric:
     def add_sample(self, y_true, y_pred, valid_mask=None) -> None:
         tp, tn, fp, fn = confusion_at_thresholds(
             y_true, y_pred, self._thresholds, valid_mask)
-        self.TP = self.TP + tp
-        self.TN = self.TN + tn
-        self.FP = self.FP + fp
-        self.FN = self.FN + fn
+        # route through add_counts so the stored totals are ALWAYS host
+        # float64: a jnp `+` here would silently demote totals accumulated
+        # by the fused path back to float32 when the two paths mix
+        self.add_counts(tp, tn, fp, fn)
 
     def add_counts(self, tp, tn, fp, fn) -> None:
         """Accumulate precomputed per-threshold ``(n_thresholds,)`` counts —
@@ -131,7 +131,14 @@ def recall(y_true, y_pred, dim):
     return tp / jnp.clip(tp + fn, CLAMP, None)
 
 
-def f1_score(gts, preds, multi_threshold_mode: bool = False, dim=(-1, -2)):
+def f1_score(gts, preds, multi_threshold_mode: bool = False, dim=(-1, -2),
+             **legacy):
+    # accept the reference API's misspelled keyword (utils/metrics.py:97),
+    # like the precsision_from_prob alias below
+    multi_threshold_mode = legacy.pop("multi_threashold_mode",
+                                      multi_threshold_mode)
+    if legacy:
+        raise TypeError(f"unexpected keyword arguments: {sorted(legacy)}")
     gts = jnp.asarray(gts, jnp.float32)
     preds = jnp.asarray(preds, jnp.float32)
     if multi_threshold_mode:
