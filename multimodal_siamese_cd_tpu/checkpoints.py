@@ -31,7 +31,13 @@ def save_checkpoint(state: train_lib.TrainState, epoch, step: int, cfg) -> Path:
         'batch_stats': jax.device_get(state.batch_stats),
         'opt_state': jax.device_get(state.opt_state),
     }
-    save_file.write_bytes(serialization.to_bytes(payload))
+    # atomic: a crash mid-write must leave the canonical name either absent
+    # or pointing at the previous complete checkpoint, never truncated
+    import os
+
+    tmp = save_file.with_name(save_file.name + f".tmp{os.getpid()}")
+    tmp.write_bytes(serialization.to_bytes(payload))
+    os.replace(tmp, save_file)
     return save_file
 
 

@@ -60,13 +60,16 @@ def _bf16():
 
 def _eval_fn(model, treedef):
     """Eval forward over the FLAT weight-leaf list; the pytree structure is
-    closed over here and thus baked into the exported graph."""
+    closed over here and thus baked into the exported graph. Delegates to
+    train_lib.eval_forward so the head-selection + sigmoid protocol has ONE
+    source — served probabilities match the assessment pipeline by
+    construction (the inner jit inlines under the exporting jit)."""
+    from .train_lib import eval_forward
+
     def fwd(leaf_list, x1, x2):
         variables = jax.tree_util.tree_unflatten(treedef, leaf_list)
-        out = model.apply(variables, x1, x2, train=False)
-        if isinstance(out, tuple):
-            out = out[0]
-        return jax.nn.sigmoid(out)
+        return eval_forward(model, variables["params"],
+                            variables.get("batch_stats", {}), x1, x2)
 
     return fwd
 
@@ -146,7 +149,8 @@ class ServingModel:
     scores many scene pairs through the batched artifacts."""
 
     def __init__(self, path):
-        with zipfile.ZipFile(Path(path)) as z:
+        self._path = Path(path)
+        with zipfile.ZipFile(self._path) as z:
             meta = json.loads(z.read("meta.json"))
             npz = np.load(io.BytesIO(z.read("variables.npz")))
             bf16_leaves = set(meta.get("bf16_leaves", []))
@@ -156,17 +160,18 @@ class ServingModel:
             self.meta = meta
             self.buckets = sorted(tuple(b) for b in meta["buckets"])
             self.batch_sizes = sorted(meta.get("batch_sizes", [1]))
-            # keep serialized artifacts; deserialize lazily per (b, h, w)
-            # key on first use — a predict()-only consumer never pays for
-            # the batched artifacts
-            self._raw = {
-                (b, bh, bw): z.read(_artifact_name(b, bh, bw))
-                for bh, bw in self.buckets for b in self.batch_sizes}
-            self._fns: dict = {}
+        self._fns: dict = {}
 
     def _fn(self, key):
+        # artifacts are read + deserialized lazily per (b, h, w) key on
+        # first use, and the raw bytes are not retained — a predict()-only
+        # consumer never pays load time or memory for the batched or
+        # other-bucket artifacts
         if key not in self._fns:
-            self._fns[key] = jax_export.deserialize(self._raw[key])
+            b, bh, bw = key
+            with zipfile.ZipFile(self._path) as z:
+                self._fns[key] = jax_export.deserialize(
+                    z.read(_artifact_name(b, bh, bw)))
         return self._fns[key]
 
     def _bucket_for(self, h, w):
@@ -180,6 +185,9 @@ class ServingModel:
         return bh, bw
 
     def _check_pair(self, x_t1, x_t2):
+        if np.ndim(x_t1) != 3:
+            raise ValueError(f"expected an unbatched (H, W, C) scene, got "
+                             f"shape {np.shape(x_t1)}")
         h, w, c = x_t1.shape
         if x_t2.shape != x_t1.shape:
             raise ValueError(f"bitemporal shapes differ: x_t1 {x_t1.shape} "
@@ -213,8 +221,6 @@ class ServingModel:
 
         max_b = self.batch_sizes[-1]
         for (bh, bw), members in groups.items():
-            pad = lambda a, h, w: np.pad(np.asarray(a, np.float32),
-                                         ((0, bh - h), (0, bw - w), (0, 0)))
             for start in range(0, len(members), max_b):
                 chunk = members[start:start + max_b]
                 # smallest exported batch that holds the chunk (a chunk is
@@ -224,8 +230,11 @@ class ServingModel:
                 x2 = np.zeros_like(x1)
                 for j, (_, a1, a2) in enumerate(chunk):
                     h, w = a1.shape[:2]
-                    x1[j] = pad(a1, h, w)
-                    x2[j] = pad(a2, h, w)
+                    # direct slice assignment: the buffer is already zeroed,
+                    # so padding each scene into a full-bucket temporary
+                    # first would only double the copy work
+                    x1[j, :h, :w] = a1
+                    x2[j, :h, :w] = a2
                 probs = np.asarray(
                     self._fn((b, bh, bw)).call(self.leaves, x1, x2))
                 for j, (idx, a1, _) in enumerate(chunk):

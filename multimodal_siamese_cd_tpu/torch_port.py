@@ -167,7 +167,9 @@ def load_reference_checkpoint(path, variables):
     port its network weights. Requires torch at call time only."""
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    # weights_only: the documented payload is plain tensors/ints/dicts —
+    # never execute pickle code from a checkpoint file
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
     state_dict = ckpt["network"] if "network" in ckpt else ckpt
     return port_reference_state_dict(state_dict, variables), ckpt.get("step")
 
@@ -212,6 +214,7 @@ def port_siamunet_diff_state_dict(state_dict, variables):
         return d
 
     out = plain(variables)  # mutable plain-dict copy (may be a FrozenDict)
+    filled: set = set()
 
     def assign(coll_path, arr):
         cur = out
@@ -221,6 +224,7 @@ def port_siamunet_diff_state_dict(state_dict, variables):
         if arr.shape != want.shape:
             raise ValueError(f"{coll_path}: shape {arr.shape} != {want.shape}")
         cur[coll_path[-1]] = jnp.asarray(arr, want.dtype)
+        filled.add(coll_path)
 
     for key, value in state_dict.items():
         if key.startswith("module."):
@@ -228,6 +232,10 @@ def port_siamunet_diff_state_dict(state_dict, variables):
         attr, leaf = key.rsplit(".", 1)
         if leaf == "num_batches_tracked":
             continue
+        if attr not in mapping:
+            raise ValueError(
+                f"unmapped torch key {key!r}: not a reference SiamUnet_diff "
+                f"state_dict (known modules: {len(mapping)})")
         path, transposed = mapping[attr]
         arr = _to_numpy(value)
         if transposed is None:  # BatchNorm
@@ -239,4 +247,19 @@ def port_siamunet_diff_state_dict(state_dict, variables):
                 arr = _conv_transpose_kernel(arr) if transposed \
                     else _conv_kernel(arr)
             assign(("params",) + path + (name,), arr)
+
+    # a silent half-port is impossible: every flax leaf must have been
+    # assigned (same guarantee as port_reference_state_dict)
+    def leaf_paths(d, prefix=()):
+        for k, v in d.items():
+            if hasattr(v, "items"):
+                yield from leaf_paths(v, prefix + (k,))
+            else:
+                yield prefix + (k,)
+
+    missing = sorted(set(leaf_paths(out)) - filled)
+    if missing:
+        raise ValueError(
+            f"torch state_dict left flax leaves unfilled: {missing[:5]}"
+            f"{' ...' if len(missing) > 5 else ''}")
     return out
