@@ -12,12 +12,15 @@ Self-contained replacement for the reference's fvcore-based config stack
   * ``setup_cfg`` / ``setup_cfg_manual`` / ``load_cfg`` entry points with the
     same signatures (experiment_manager.py:59-90).
 
-Unlike fvcore, YAML is loaded with ``yaml.safe_load`` — config files are
-data, not code, so unsafe loading is deliberately not reproduced.
+Unlike fvcore, YAML is loaded safely (a ``yaml.SafeLoader`` subclass) —
+config files are data, not code, so unsafe loading is deliberately not
+reproduced. The subclass adds YAML-1.2-style float resolution so a bare
+``1e-4`` parses as float (see ``_ConfigLoader``).
 """
 
 from __future__ import annotations
 
+import ast
 import copy
 import re
 from pathlib import Path
@@ -26,6 +29,19 @@ import yaml
 
 BASE_KEY = "_BASE_"
 _SCI_NOTATION = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)[eE][+-]?\d+$")
+
+
+class _ConfigLoader(yaml.SafeLoader):
+    """SafeLoader + YAML-1.2-style float resolution: a BARE ``1e-4`` parses
+    as float (PyYAML's 1.1 regex demands a dot and a signed exponent, so it
+    would stay a string — the reference relies on fvcore coercing it), while
+    a QUOTED "7E2" remains the string the user wrote. Resolving at the YAML
+    layer is what makes the quoted/bare distinction possible at all —
+    post-hoc string coercion cannot see quoting."""
+
+
+_ConfigLoader.add_implicit_resolver(
+    "tag:yaml.org,2002:float", _SCI_NOTATION, list("-+0123456789."))
 
 
 class CfgNode(dict):
@@ -43,14 +59,6 @@ class CfgNode(dict):
             return cls(value)
         if isinstance(value, (list, tuple)):
             return [cls._convert(v) for v in value]
-        if isinstance(value, str) and _SCI_NOTATION.match(value):
-            # PyYAML's YAML-1.1 resolver leaves scientific notation like
-            # '1e-4' / '2E5' as strings (its float regex demands a dot and a
-            # signed exponent); coerce exactly those so `LR: 1e-4` becomes a
-            # float (the reference relies on fvcore doing this). Anything
-            # else — quoted numerics ('12' stays the string the user
-            # quoted), paths, ids — is left untouched.
-            return float(value)
         return value
 
     # -- attribute access -------------------------------------------------
@@ -77,7 +85,7 @@ class CfgNode(dict):
 
     def merge_from_file(self, cfg_filename: str | Path, allow_unsafe: bool = True) -> None:
         # allow_unsafe kept for signature parity (experiment_manager.py:30);
-        # loading is always yaml.safe_load here.
+        # loading is always safe (SafeLoader subclass) here.
         del allow_unsafe
         loaded = load_yaml_with_base(cfg_filename)
         self.merge_from_other_cfg(loaded)
@@ -96,9 +104,17 @@ class CfgNode(dict):
         for full_key, raw in zip(opts[0::2], opts[1::2]):
             node = self
             parts = full_key.split(".")
-            for part in parts[:-1]:
-                if part not in node or not isinstance(node[part], CfgNode):
+            for i, part in enumerate(parts[:-1]):
+                if part not in node:
                     node[part] = CfgNode()
+                elif not isinstance(node[part], CfgNode):
+                    # a typo'd path like MODEL.TYPE.NAME would otherwise
+                    # silently erase the scalar MODEL.TYPE; fail loudly at
+                    # the cause (the reference's yacs raises here too)
+                    raise KeyError(
+                        f"Override key '{full_key}' traverses "
+                        f"'{'.'.join(parts[:i + 1])}', which holds the "
+                        f"non-mapping value {node[part]!r}")
                 node = node[part]
             node[parts[-1]] = self._convert(_decode_value(raw))
 
@@ -137,11 +153,16 @@ def _merge_into(dst: CfgNode, src: dict) -> None:
 
 
 def _decode_value(raw):
+    """Decode one CLI override value the way the reference's fvcore/yacs
+    stack does (yacs ``_decode_cfg_value``): ``ast.literal_eval``, falling
+    back to the raw string. Python literals only — ``True``/``1e-4``/
+    ``[8, 16]`` parse, while YAML-1.1 traps (``no``→False, ``010``→octal 8,
+    ``1:30``→90, bare dates) stay the string the user typed."""
     if not isinstance(raw, str):
         return raw
     try:
-        return yaml.safe_load(raw)
-    except yaml.YAMLError:
+        return ast.literal_eval(raw)
+    except (ValueError, SyntaxError):
         return raw
 
 
@@ -162,14 +183,14 @@ def _load_yaml_with_base(filename: Path, seen: set) -> CfgNode:
         raise ValueError(f"Cyclic _BASE_ inheritance involving {filename}")
     seen = seen | {filename}
     with open(filename) as f:
-        raw = yaml.safe_load(f) or {}
+        raw = yaml.load(f, Loader=_ConfigLoader) or {}
     if not isinstance(raw, dict):
         raise ValueError(f"Config file {filename} must contain a mapping")
     cfg = CfgNode(raw)
     base_ref = cfg.pop(BASE_KEY, None)
     if base_ref is None:
         return cfg
-    base_path = Path(base_ref)
+    base_path = Path(base_ref).expanduser()  # fvcore expands a leading '~'
     if not base_path.is_absolute():
         base_path = filename.parent / base_path
     base_cfg = _load_yaml_with_base(base_path, seen)

@@ -6,9 +6,10 @@ gamma). Here the pipeline is split TPU-first:
 
   * **Host** (this module, numpy): cropping only — it must see the
     variable-size scene. ImportanceRandomCrop's 20-candidate label sums
-    (augmentations.py:129-142, the reference's CPU hot spot) are computed
-    with a single integral image, making each candidate O(1) instead of
-    O(crop²).
+    (augmentations.py:129-142, the reference's CPU hot spot) use direct
+    per-window ``count_nonzero`` — measured FASTER than the integral-image
+    variant it replaced, whose full-scene cumsum dominated at production
+    scene sizes (see :func:`choose_crop_offset`).
   * **Device** (:func:`device_augment_batch`, jax): flips / rot90 / gamma /
     color-shift as one vmapped graph keyed by a PRNG key, fused by XLA into
     the training step — these are pure memory ops + elementwise math, free

@@ -142,6 +142,24 @@ class SceneCache:
         os.replace(tmp_meta, meta_file)
         os.replace(tmp_npy, npy)
 
+    def _prune_stale(self, aoi_id: str, modality: str, keep: str) -> None:
+        """Delete superseded cache generations for ``(aoi, modality)``: a
+        source re-download changes the fingerprint hash in the cache key,
+        and without pruning every generation's packed array (hundreds of MB
+        per entry at production scene sizes) would accumulate forever.
+        Unlinking is safe against concurrent readers — an open mmap keeps
+        the inode alive until unmapped."""
+        import re
+
+        pat = re.compile(
+            re.escape(f"{aoi_id}_{modality}_") + r"[0-9a-f]{10}\.(npy|json)")
+        for f in self.cache_dir.glob(f"{aoi_id}_{modality}_*"):
+            if pat.fullmatch(f.name) and not f.name.startswith(keep + "."):
+                try:
+                    f.unlink()
+                except OSError:
+                    pass  # racing pruner/builder; next build sweeps again
+
     def _load_packed(self, aoi_id: str, modality: str):
         key = (aoi_id, modality)
         if key in self._open:
@@ -154,6 +172,7 @@ class SceneCache:
                 if not (npy.exists() and meta_file.exists()):
                     self.cache_dir.mkdir(parents=True, exist_ok=True)
                     self._build(aoi_id, modality, npy, meta_file)
+                    self._prune_stale(aoi_id, modality, keep=name)
         arr = np.load(npy, mmap_mode="r")
         meta = json.loads(meta_file.read_text())
         index = {tuple(t): i for i, t in enumerate(meta["timestamps"])}

@@ -112,14 +112,21 @@ class TrainLoader:
         if self.worker_type == "thread":
             return ThreadPoolExecutor(max_workers=self.num_workers), \
                 lambda e, b, idx: (self._build_batch, e, b, idx)
-        # Process pool: create once (fork is expensive), init each worker
-        # with the dataset a single time instead of pickling it per task.
+        # Process pool: create once, init each worker with the dataset a
+        # single time instead of pickling it per task. NEVER fork: by pool
+        # time the JAX backend's RPC/runtime threads are live (sitecustomize
+        # imports jax at interpreter startup on this rig) and fork() from a
+        # multithreaded process can copy held mutexes — a worker then wedges
+        # inside an inherited lock with no error. forkserver children fork
+        # from a FRESH server interpreter instead (spawn fallback); the
+        # dataset pickles fine (SceneCache.__getstate__ drops open mmaps).
         if self._proc_pool is None:
             import multiprocessing as mp
             from concurrent.futures import ProcessPoolExecutor
 
-            ctx = mp.get_context("fork") if "fork" in mp.get_all_start_methods() \
-                else mp.get_context()
+            ctx = mp.get_context(
+                "forkserver" if "forkserver" in mp.get_all_start_methods()
+                else "spawn")
             self._proc_pool = ProcessPoolExecutor(
                 max_workers=self.num_workers, mp_context=ctx,
                 initializer=_init_proc_worker,
@@ -136,9 +143,9 @@ class TrainLoader:
             return
 
         pool, make_task = self._pool()
+        futures = []
         try:
             window = self.num_workers + self.prefetch
-            futures = []
             submitted = 0
             for _ in range(min(window, len(batches))):
                 futures.append(pool.submit(*make_task(epoch, submitted,
@@ -157,11 +164,17 @@ class TrainLoader:
                     submitted += 1
                 yield batch
         finally:
-            # cancel_futures: an abandoned epoch (exception, early stop)
-            # must not leave queued ~31 MB batch builds competing for the
-            # 1-core host during teardown/eval
+            # An abandoned epoch (exception, early stop) must not leave
+            # queued ~31 MB batch builds competing for the 1-core host
+            # during teardown/eval. Thread pools are per-epoch: shut down.
+            # The process pool is persistent: cancel what's still queued
+            # but keep the workers alive for the next epoch.
             if self.worker_type == "thread":
                 pool.shutdown(wait=False, cancel_futures=True)
+            else:
+                for f in futures:
+                    if f is not None:
+                        f.cancel()
 
     def close(self) -> None:
         if self._proc_pool is not None:

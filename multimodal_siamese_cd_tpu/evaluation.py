@@ -155,13 +155,13 @@ def _shard_group(arrs: tuple, mesh) -> tuple:
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from .parallel.mesh import (DATA_AXIS, SPACE_AXIS, data_axis_size,
-                                wire_sharding)
+                                space_axis_size, wire_sharding)
     pad = -arrs[0].shape[0] % data_axis_size(mesh)
     if pad:
         arrs = tuple(np.concatenate(
             [a, np.zeros((pad, *a.shape[1:]), a.dtype)]) for a in arrs)
-    spatial = SPACE_AXIS in mesh.axis_names \
-        and arrs[0].shape[2] % mesh.shape[SPACE_AXIS] == 0
+    n_space = space_axis_size(mesh)
+    spatial = n_space > 1 and arrs[0].shape[2] % n_space == 0
     plane_sh = NamedSharding(
         mesh, P(DATA_AXIS, SPACE_AXIS if spatial else None))
     return tuple(_jax.device_put(

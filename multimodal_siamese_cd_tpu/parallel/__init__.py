@@ -7,7 +7,6 @@ from .mesh import (  # noqa: F401
     data_mesh,
     data_space_mesh,
     replicated_sharding,
-    shard_batch_size,
     space_axis_size,
     wire_sharding,
 )

@@ -76,14 +76,3 @@ def wire_sharding(mesh: Mesh, scanned: bool = False) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
-
-
-def shard_batch_size(global_batch: int, mesh: Mesh) -> int:
-    """Validate the global batch divides the mesh's data axis; returns the
-    per-device-column batch size."""
-    n = data_axis_size(mesh)
-    if global_batch % n != 0:
-        raise ValueError(
-            f"TRAINER.BATCH_SIZE={global_batch} must be divisible by the "
-            f"{n}-device '{DATA_AXIS}' mesh axis")
-    return global_batch // n

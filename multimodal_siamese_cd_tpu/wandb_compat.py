@@ -27,6 +27,22 @@ except ImportError:
 _run = None
 
 
+def _jsonable(v):
+    """JSON-safe value with type fidelity: Python ints/bools/floats pass
+    through unchanged (wandb keeps integer steps and bool flags — parsers
+    expect them), numpy/jax scalars unwrap via .item(), arrays become
+    lists instead of raising inside log()."""
+    if isinstance(v, (bool, int, float, str)) or v is None:
+        return v
+    if hasattr(v, "item") and getattr(v, "size", None) == 1:
+        return v.item()
+    if hasattr(v, "tolist"):
+        return v.tolist()
+    if hasattr(v, "__float__"):
+        return float(v)
+    return v
+
+
 class _JsonlRun:
     def __init__(self, name: str, out_dir: Path | None, config: dict | None,
                  disabled: bool = False):
@@ -50,8 +66,7 @@ class _JsonlRun:
             # parity with wandb mode='disabled': swallow everything
             return
         record = {"_t": round(time.time() - self.t0, 3)}
-        record.update({k: (float(v) if hasattr(v, "__float__") else v)
-                       for k, v in metrics.items()})
+        record.update({k: _jsonable(v) for k, v in metrics.items()})
         self._write(record)
         printable = ", ".join(
             f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
@@ -70,6 +85,11 @@ def init(name: str, config=None, entity: str = None, project: str = None,
     Falls back to JSONL when wandb is unavailable; honours mode='disabled'.
     """
     global _run
+    if _run is not None:
+        # re-init without finish(): close the previous run instead of
+        # orphaning its open file handle (late buffered writes from a
+        # leaked handle can interleave into the old JSONL)
+        finish()
     cfg_dict = config.to_dict() if hasattr(config, "to_dict") else config
     if _wandb is not None and mode != "jsonl":
         _run = _wandb.init(name=name, config=cfg_dict, entity=entity,

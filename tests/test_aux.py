@@ -129,9 +129,76 @@ def test_jsonl_logging_sink(tmp_path):
     assert lines[2]["loss"] == 0.25
 
 
+def test_jsonl_log_type_fidelity(tmp_path):
+    wandb_compat.init("runt", config=None, mode="jsonl", out_dir=tmp_path)
+    wandb_compat.log({"step": 3, "flag": True, "loss": np.float32(0.5),
+                      "vec": np.arange(3), "name": "x"})
+    wandb_compat.finish()
+    rec = [json.loads(l) for l in
+           (tmp_path / "logs" / "runt.jsonl").read_text().splitlines()][-1]
+    assert rec["step"] == 3 and isinstance(rec["step"], int)
+    assert rec["flag"] is True
+    assert rec["loss"] == 0.5
+    assert rec["vec"] == [0, 1, 2]   # arrays log as lists, not TypeError
+    assert rec["name"] == "x"
+
+
+def test_jsonl_reinit_closes_previous_run(tmp_path):
+    r1 = wandb_compat.init("one", config=None, mode="jsonl", out_dir=tmp_path)
+    wandb_compat.log({"a": 1})
+    # second init WITHOUT finish(): must close run one's file handle
+    wandb_compat.init("two", config=None, mode="jsonl", out_dir=tmp_path)
+    assert r1.file is None
+    wandb_compat.log({"b": 2})
+    wandb_compat.finish()
+    assert json.loads((tmp_path / "logs" / "one.jsonl").read_text()
+                      .splitlines()[-1])["a"] == 1
+    assert json.loads((tmp_path / "logs" / "two.jsonl").read_text()
+                      .splitlines()[-1])["b"] == 2
+
+
 def test_process_shard_single_host():
     sl = process_shard(10)
     assert sl == slice(0, 10)
+
+
+def test_process_shard_balanced(monkeypatch):
+    from multimodal_siamese_cd_tpu.parallel import distributed
+
+    def shards(n_items, n_proc):
+        out = []
+        for i in range(n_proc):
+            monkeypatch.setattr(distributed.jax, "process_count", lambda: n_proc)
+            monkeypatch.setattr(distributed.jax, "process_index", lambda i=i: i)
+            out.append(process_shard(n_items))
+        return out
+
+    for n_items, n_proc in [(4, 3), (10, 4), (3, 3), (7, 8), (0, 2), (16, 8)]:
+        sls = shards(n_items, n_proc)
+        covered = []
+        for sl in sls:
+            covered.extend(range(n_items)[sl])
+        # partition: disjoint, ordered, complete
+        assert covered == list(range(n_items))
+        sizes = [len(range(n_items)[sl]) for sl in sls]
+        # balanced: sizes differ by at most one...
+        assert max(sizes) - min(sizes) <= 1
+        # ...and nobody idles when there is enough work to go round
+        if n_items >= n_proc:
+            assert min(sizes) >= 1
+
+
+def test_partial_coordinator_spec_raises(monkeypatch):
+    from multimodal_siamese_cd_tpu.parallel import distributed
+
+    monkeypatch.setattr(distributed, "_initialized", False)
+    monkeypatch.setenv("MSCD_DISTRIBUTED", "1")
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1234")
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    with pytest.raises(ValueError, match="partial coordinator spec"):
+        distributed.maybe_initialize_distributed()
+    assert not distributed._initialized
 
 
 def test_png_roundtrip_rgb(tmp_path):

@@ -35,6 +35,71 @@ def test_base_inheritance_child_wins():
     assert len(c.DATASET.TRAINING_IDS) == 39   # two-level _BASE_ chain via splits.yaml
 
 
+def test_sci_notation_floats_quoted_vs_bare(tmp_path):
+    # PyYAML's YAML-1.1 resolver leaves a bare `1e-4` as a string (its float
+    # regex demands a dot and a signed exponent); the reference relies on
+    # fvcore coercing it. Our SafeLoader subclass resolves it at the YAML
+    # layer, which is the only place the quoted/bare distinction is visible.
+    f = tmp_path / "c.yaml"
+    f.write_text(
+        'LR: 1e-4\n'
+        'BIG: 2E5\n'
+        'DOTTED: 1.5e-3\n'
+        'QUOTED: "7E2"\n'
+        'NAME: run_1e5\n'          # not a number — must stay a string
+        'VERSION: "12"\n'
+    )
+    c = cfg_mod.load_yaml_with_base(f)
+    assert c.LR == 1e-4 and isinstance(c.LR, float)
+    assert c.BIG == 2e5 and isinstance(c.BIG, float)
+    assert c.DOTTED == 1.5e-3
+    assert c.QUOTED == "7E2"       # user quoting is honored
+    assert c.NAME == "run_1e5"
+    assert c.VERSION == "12"
+    # CLI override values decode as Python literals (reference yacs
+    # _decode_cfg_value semantics), not YAML
+    c.merge_from_list(["A", "3e-2", "B", "hello"])
+    assert c.A == 3e-2 and isinstance(c.A, float)
+    assert c.B == "hello"
+
+
+def test_merge_from_list_yaml11_traps_stay_strings():
+    # YAML-1.1 would mangle these (no->False, 010->octal 8, 1:30->90,
+    # bare dates -> datetime.date); the reference's literal_eval decode
+    # keeps them as the strings the user typed.
+    c = CfgNode()
+    c.merge_from_list([
+        "A", "no",
+        "B", "010",
+        "C", "1:30",
+        "D", "2021-01-01",
+        "E", "on",
+    ])
+    assert c.A == "no"
+    assert c.B == "010"
+    assert c.C == "1:30"
+    assert c.D == "2021-01-01"
+    assert c.E == "on"
+
+
+def test_merge_from_list_rejects_path_through_scalar():
+    c = CfgNode({"MODEL": {"TYPE": "siameseunet"}})
+    with pytest.raises(KeyError, match="MODEL.TYPE"):
+        c.merge_from_list(["MODEL.TYPE.NAME", "x"])
+    assert c.MODEL.TYPE == "siameseunet"   # untouched by the failed merge
+
+
+def test_base_path_expanduser(tmp_path, monkeypatch):
+    home = tmp_path / "home"
+    home.mkdir()
+    (home / "base.yaml").write_text("X: 1\n")
+    monkeypatch.setenv("HOME", str(home))
+    child = tmp_path / "child.yaml"
+    child.write_text('_BASE_: "~/base.yaml"\nY: 2\n')
+    c = cfg_mod.load_yaml_with_base(child)
+    assert c.X == 1 and c.Y == 2
+
+
 def test_cyclic_base_raises(tmp_path):
     f = tmp_path / "self.yaml"
     f.write_text('_BASE_: "self.yaml"\nX: 1\n')

@@ -328,6 +328,12 @@ def test_cache_key_changes_when_source_tif_changes(cfg, fixture_dataset,
     after = fresh.load(aoi, "s1", ts["year"], ts["month"])
     np.testing.assert_allclose(after, np.clip(before * 0.5, 0, 1), atol=1e-6)
 
+    # the superseded generation is pruned — exactly one (aoi, s1) entry
+    # remains, else every re-download leaks a full packed copy forever
+    gens = sorted(fresh.cache_dir.glob(f"{aoi}_s1_*.npy"))
+    assert len(gens) == 1
+    assert gens[0].name == fresh._cache_key(aoi, "s1") + ".npy"
+
 
 def test_cache_build_skips_sampler_ineligible_timestamps(cfg,
                                                          fixture_dataset,

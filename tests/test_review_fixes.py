@@ -55,14 +55,16 @@ def test_resume_continues_epoch_numbering(cfg, capsys):
 
 
 def test_quoted_numeric_strings_stay_strings():
-    """Only PyYAML's scientific-notation gap is coerced (review finding 7)."""
+    """Programmatic string values are NEVER coerced (round-3 review: the old
+    `_convert` sci-notation coercion mangled explicitly quoted YAML strings;
+    bare `1e-4` now resolves to float at the YAML layer instead — see
+    tests/test_config.py::test_sci_notation_floats_quoted_vs_bare)."""
     c = CfgNode({"A": "1e-4", "B": "12345", "C": "(1,2)", "D": "None",
                  "E": "2E5", "F": "1.5e-3", "G": "0.5"})
-    assert c.A == 1e-4 and c.E == 2e5 and c.F == 1.5e-3
-    assert c.B == "12345"      # quoted int stays a string
-    assert c.C == "(1,2)"      # tuple-ish text untouched
-    assert c.D == "None"
-    assert c.G == "0.5"        # quoted float stays a string
+    for key, raw in [("A", "1e-4"), ("B", "12345"), ("C", "(1,2)"),
+                     ("D", "None"), ("E", "2E5"), ("F", "1.5e-3"),
+                     ("G", "0.5")]:
+        assert c[key] == raw and isinstance(c[key], str)
 
 
 def test_numeric_path_survives_setup(tmp_path, monkeypatch):
