@@ -32,14 +32,14 @@ def qualitative_assessment(cfg, run_type: str = 'test') -> None:
                              disable_multiplier=True)
     for item in ds:
         aoi_id = item['aoi_id']
-        out = evaluation.dualtask_scene_outputs(model, state, item)
-        n_s1 = len(cfg.DATALOADER.S1_BANDS)
+        out = evaluation.dualtask_scene_outputs(
+            model, state, item, bucket=evaluation.eval_bucket(cfg))
         panels = [
-            [visualization.optical_rgb(item['x_t1'][:, :, n_s1:]),
+            [visualization.imagery_panel(item['x_t1'], cfg),
              visualization.gray_rgb(item['y_sem_t1']),
              visualization.gray_rgb(out['sem_t1']),
              visualization.gray_rgb(item['y_change'])],
-            [visualization.optical_rgb(item['x_t2'][:, :, n_s1:]),
+            [visualization.imagery_panel(item['x_t2'], cfg),
              visualization.gray_rgb(item['y_sem_t2']),
              visualization.gray_rgb(out['sem_t2']),
              visualization.gray_rgb(out['change'])],

@@ -25,9 +25,6 @@ from multimodal_siamese_cd_tpu import (
 )
 from multimodal_siamese_cd_tpu.data.dataset import MultimodalCDDataset
 
-FONTSIZE = 16  # reference's matplotlib fontsize; here it scales the bitmap font
-
-
 def _dataset(cfg, run_type):
     return MultimodalCDDataset(cfg, run_type, dataset_mode='first_last',
                                no_augmentations=True, disable_unlabeled=True,
@@ -37,12 +34,12 @@ def _dataset(cfg, run_type):
 def qualitative_assessment_change(cfg, run_type: str = 'test') -> None:
     """(reference assessment_semantics.py:11-50)"""
     model, state, _ = checkpoints.load_checkpoint(cfg.INFERENCE_CHECKPOINT, cfg)
-    n_s1 = len(cfg.DATALOADER.S1_BANDS)
     for item in _dataset(cfg, run_type):
-        out = evaluation.dualtask_scene_outputs(model, state, item)
+        out = evaluation.dualtask_scene_outputs(
+            model, state, item, bucket=evaluation.eval_bucket(cfg))
         panels = [[
-            visualization.optical_rgb(item['x_t1'][:, :, n_s1:]),
-            visualization.optical_rgb(item['x_t2'][:, :, n_s1:]),
+            visualization.imagery_panel(item['x_t1'], cfg),
+            visualization.imagery_panel(item['x_t2'], cfg),
             visualization.gray_rgb(item['y_change']),
             visualization.gray_rgb(out['change_sem']),
             visualization.gray_rgb(out['change']),
@@ -57,14 +54,14 @@ def qualitative_assessment_change(cfg, run_type: str = 'test') -> None:
 def qualitative_assessment_sem(cfg, run_type: str = 'validation') -> None:
     """(reference assessment_semantics.py:53-96)"""
     model, state, _ = checkpoints.load_checkpoint(cfg.INFERENCE_CHECKPOINT, cfg)
-    n_s1 = len(cfg.DATALOADER.S1_BANDS)
     for item in _dataset(cfg, run_type):
-        out = evaluation.dualtask_scene_outputs(model, state, item)
+        out = evaluation.dualtask_scene_outputs(
+            model, state, item, bucket=evaluation.eval_bucket(cfg))
         panels = [
-            [visualization.optical_rgb(item['x_t1'][:, :, n_s1:]),
+            [visualization.imagery_panel(item['x_t1'], cfg),
              visualization.gray_rgb(item['y_sem_t1']),
              visualization.gray_rgb(out['sem_t1'])],
-            [visualization.optical_rgb(item['x_t2'][:, :, n_s1:]),
+            [visualization.imagery_panel(item['x_t2'], cfg),
              visualization.gray_rgb(item['y_sem_t2']),
              visualization.gray_rgb(out['sem_t2'])],
         ]

@@ -122,9 +122,13 @@ def generate_change_label(dataset_path: str, aoi_id: str) -> np.ndarray:
 def generate_train_test_split(dataset_path: str, split: float = 0.3,
                               seed: int = 7) -> tuple[list, list]:
     """Random AOI split (reference dataset_helpers.py:174-186); returns
-    (train, test)."""
+    (train, test). Draws from a private legacy MT19937 stream
+    (``RandomState``, equivalent to the reference's global
+    ``np.random.seed(seed); np.random.rand(n)``) so regenerating the split
+    reproduces the reference's exact AOI assignment — same guarantee as
+    ``spacenet7.training_validation_split``."""
     ids = aoi_ids(dataset_path)
-    rand = np.random.default_rng(seed).random(len(ids))
+    rand = np.random.RandomState(seed).rand(len(ids))
     test = [a for a, r in zip(ids, rand) if r <= split]
     train = [a for a, r in zip(ids, rand) if r > split]
     return train, test

@@ -53,6 +53,32 @@ def gray_rgb(img: np.ndarray, vmin: float = 0.0, vmax: float = 1.0) -> np.ndarra
     return np.repeat(g[:, :, None], 3, axis=2)
 
 
+def split_modalities(x_hwc: np.ndarray, cfg) -> tuple:
+    """``(s1, s2)`` channel blocks of an item image per
+    ``DATALOADER.INPUT_MODE`` — the display-side twin of
+    ``dataset._split_imgs``' layout. Items carry ONLY the configured
+    modalities, so a fixed ``[:, :, n_s1:]`` slice is wrong for the
+    shipped ``'s2'`` configs (it would drop real bands and crash
+    :func:`optical_rgb`). A missing modality is ``None``."""
+    mode = cfg.DATALOADER.INPUT_MODE
+    if mode == 's1':
+        return x_hwc, None
+    if mode == 's2':
+        return None, x_hwc
+    n_s1 = len(cfg.DATALOADER.S1_BANDS)
+    return x_hwc[:, :, :n_s1], x_hwc[:, :, n_s1:]
+
+
+def imagery_panel(x_hwc: np.ndarray, cfg) -> np.ndarray:
+    """Best-available display panel for an item image: true-color S2 when
+    the config carries >=3 optical bands, else first-band grayscale (SAR
+    for 's1' configs, single-band optical otherwise)."""
+    s1, s2 = split_modalities(x_hwc, cfg)
+    if s2 is not None and s2.shape[2] >= 3:
+        return optical_rgb(s2)
+    return sar_gray(s2 if s2 is not None else s1)
+
+
 def get_misclassifications(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
     """0 TN / 1 TP / 2 FP / 3 FN map (reference qualitative_comparison.py:13-22)."""
     pred = np.asarray(pred).astype(bool)

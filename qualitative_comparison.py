@@ -24,13 +24,11 @@ from multimodal_siamese_cd_tpu import (
 )
 from multimodal_siamese_cd_tpu.data.dataset import MultimodalCDDataset
 
-FONTSIZE = 16  # reference fontsize; bitmap-font strips are auto-scaled
-
-
-def _predict_change(model, state, ds, aoi_id):
+def _predict_change(model, state, ds, aoi_id, cfg):
     index = ds.get_index(aoi_id)
     item = ds[index]
-    probs = evaluation.scene_probabilities(model, state, item)
+    probs = evaluation.scene_probabilities(model, state, item,
+                                           bucket=evaluation.eval_bucket(cfg))
     return item, (probs > 0.5).astype(np.uint8)
 
 
@@ -46,13 +44,12 @@ def qualitative_comparison(config_names: list, output_dir: str, dataset_dir: str
                                  no_augmentations=True, disable_unlabeled=True,
                                  disable_multiplier=True)
         model, state, _ = checkpoints.load_checkpoint(cfg.INFERENCE_CHECKPOINT, cfg)
-        n_s1 = len(cfg.DATALOADER.S1_BANDS)
         for i, aoi_id in enumerate(aoi_ids):
-            item, pred = _predict_change(model, state, ds, aoi_id)
+            item, pred = _predict_change(model, state, ds, aoi_id, cfg)
             rows[i][3 + j] = visualization.gray_rgb(pred)
             if j == 0:
-                rows[i][0] = visualization.optical_rgb(item['x_t1'][:, :, n_s1:])
-                rows[i][1] = visualization.optical_rgb(item['x_t2'][:, :, n_s1:])
+                rows[i][0] = visualization.imagery_panel(item['x_t1'], cfg)
+                rows[i][1] = visualization.imagery_panel(item['x_t2'], cfg)
                 rows[i][2] = visualization.gray_rgb(item['y_change'])
     out_file = Path(output_dir) / 'plots' / 'qualitative_comparison.png'
     return visualization.save_figure(
@@ -75,9 +72,8 @@ def qualitative_comparison_zoom(config_names: list, output_dir: str,
                                  no_augmentations=True, disable_unlabeled=True,
                                  disable_multiplier=True)
         model, state, _ = checkpoints.load_checkpoint(cfg.INFERENCE_CHECKPOINT, cfg)
-        n_s1 = len(cfg.DATALOADER.S1_BANDS)
         for i, (aoi_id, zoom) in enumerate(zip(aoi_ids, zooms)):
-            item, pred = _predict_change(model, state, ds, aoi_id)
+            item, pred = _predict_change(model, state, ds, aoi_id, cfg)
             i_start, j_start, s = zoom
             if s is None:
                 i_end, j_end = item['y_change'].shape[:2]
@@ -92,10 +88,10 @@ def qualitative_comparison_zoom(config_names: list, output_dir: str,
             else:
                 rows[i][3 + j] = visualization.gray_rgb(pred_w)
             if j == 0:
-                rows[i][0] = visualization.optical_rgb(
-                    item['x_t1'][:, :, n_s1:][window])
-                rows[i][1] = visualization.optical_rgb(
-                    item['x_t2'][:, :, n_s1:][window])
+                rows[i][0] = visualization.imagery_panel(
+                    item['x_t1'][window], cfg)
+                rows[i][1] = visualization.imagery_panel(
+                    item['x_t2'][window], cfg)
                 rows[i][2] = visualization.gray_rgb(gt)
     suffix = 'zoom_colored' if colored else 'zoom'
     out_file = Path(output_dir) / 'plots' / f'qualitative_comparison_{suffix}.png'

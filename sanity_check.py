@@ -25,19 +25,28 @@ def sanity_check_dataset(config_name: str, dataset_dir: str = None,
         cfg.PATHS.DATASET = str(dataset_dir)
     ds = MultimodalCDDataset(cfg, run_type, no_augmentations=False,
                              disable_multiplier=True)
-    n_s1 = len(cfg.DATALOADER.S1_BANDS)
     files = []
     for index in range(min(n_samples, len(ds))):
         item = ds[index]
-        s2_t1 = item['x_t1'][:, :, n_s1:]
-        s2_t2 = item['x_t2'][:, :, n_s1:]
-        panels = [
-            [visualization.to_uint8(s2_t1[:, :, :3], 0, 0.3),
-             visualization.to_uint8(s2_t2[:, :, :3], 0, 0.3),
-             visualization.gray_rgb(item['y_change'])],
-            [visualization.sar_gray(item['x_t1'], 0),
-             visualization.sar_gray(item['x_t2'], 0)],
-        ]
+        # one row per modality the config actually carries (items hold ONLY
+        # the INPUT_MODE bands — a fixed [:, :, n_s1:] slice would truncate
+        # 's2' configs and show optical bands as SAR)
+        s1_t1, s2_t1 = visualization.split_modalities(item['x_t1'], cfg)
+        s1_t2, s2_t2 = visualization.split_modalities(item['x_t2'], cfg)
+        panels = []
+        if s2_t1 is not None and s2_t1.shape[2] >= 3:
+            panels.append([visualization.to_uint8(s2_t1[:, :, :3], 0, 0.3),
+                           visualization.to_uint8(s2_t2[:, :, :3], 0, 0.3),
+                           visualization.gray_rgb(item['y_change'])])
+        if s1_t1 is not None:
+            panels.append([visualization.sar_gray(s1_t1, 0),
+                           visualization.sar_gray(s1_t2, 0)])
+        if s2_t1 is None or s2_t1.shape[2] < 3:
+            # no optical row — keep the change label visible alongside
+            # whatever imagery the config does carry
+            panels.insert(0, [visualization.imagery_panel(item['x_t1'], cfg),
+                              visualization.imagery_panel(item['x_t2'], cfg),
+                              visualization.gray_rgb(item['y_change'])])
         out_file = Path(out_dir) / f"{config_name}_{run_type}_{index}.png"
         files.append(visualization.save_figure(out_file, panels))
         print(f"wrote {files[-1]}")

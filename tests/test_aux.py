@@ -209,6 +209,41 @@ def test_png_roundtrip_rgb(tmp_path):
     np.testing.assert_array_equal(back, img)
 
 
+def test_imagery_panel_per_input_mode():
+    """Display helpers must honor DATALOADER.INPUT_MODE: items carry ONLY
+    the configured modalities, so the old fixed [:, :, n_s1:] slice
+    truncated 's2' configs (IndexError inside optical_rgb) and showed
+    optical bands as SAR for 's1'."""
+    from multimodal_siamese_cd_tpu.config import CfgNode
+
+    rng = np.random.default_rng(0)
+
+    def cfg_for(mode):
+        return CfgNode({"DATALOADER": {"INPUT_MODE": mode,
+                                       "S1_BANDS": [0, 1],
+                                       "S2_BANDS": [0, 1, 2, 3]}})
+
+    x_s1s2 = rng.uniform(size=(8, 9, 6)).astype(np.float32)
+    s1, s2 = visualization.split_modalities(x_s1s2, cfg_for("s1s2"))
+    np.testing.assert_array_equal(s1, x_s1s2[:, :, :2])
+    np.testing.assert_array_equal(s2, x_s1s2[:, :, 2:])
+
+    x_s2 = rng.uniform(size=(8, 9, 4)).astype(np.float32)
+    s1, s2 = visualization.split_modalities(x_s2, cfg_for("s2"))
+    assert s1 is None
+    np.testing.assert_array_equal(s2, x_s2)
+    panel = visualization.imagery_panel(x_s2, cfg_for("s2"))
+    np.testing.assert_array_equal(
+        panel, visualization.optical_rgb(x_s2))   # all 4 S2 bands kept
+
+    x_s1 = rng.uniform(size=(8, 9, 2)).astype(np.float32)
+    s1, s2 = visualization.split_modalities(x_s1, cfg_for("s1"))
+    assert s2 is None
+    np.testing.assert_array_equal(s1, x_s1)
+    panel = visualization.imagery_panel(x_s1, cfg_for("s1"))
+    assert panel.shape == (8, 9, 3)               # SAR grayscale, no crash
+
+
 def test_visualization_panels():
     img = np.random.default_rng(0).uniform(size=(10, 12, 6)).astype(np.float32)
     rgb = visualization.optical_rgb(img)
@@ -278,6 +313,31 @@ def test_training_validation_split_legacy_sequence(tmp_path):
     # global numpy RNG state must not be touched by the generator
     state_before = np.random.get_state()[1][:4].tolist()
     spacenet7.training_validation_split(str(tmp_path))
+    assert np.random.get_state()[1][:4].tolist() == state_before
+
+
+def test_generate_train_test_split_legacy_sequence(tmp_path):
+    """Same reproduction-faithfulness guarantee as the spacenet7 split:
+    the train/test generator draws the reference's legacy MT19937 stream
+    (reference dataset_helpers.py:174-186), so the same (dataset, seed)
+    yields the reference's exact partition."""
+    import json
+
+    import numpy as np
+
+    aois = [f"L15-{i:04d}E-0001N_{i}_0_13" for i in range(10)]
+    (tmp_path / "metadata.json").write_text(
+        json.dumps({a: [] for a in aois}))
+
+    train, test = dataset_helpers.generate_train_test_split(
+        str(tmp_path), split=0.3, seed=7)
+
+    expected_rand = np.random.RandomState(7).rand(10)
+    assert test == [a for a, r in zip(sorted(aois), expected_rand) if r <= 0.3]
+    assert train == [a for a, r in zip(sorted(aois), expected_rand) if r > 0.3]
+    # private stream: the global numpy RNG must stay untouched
+    state_before = np.random.get_state()[1][:4].tolist()
+    dataset_helpers.generate_train_test_split(str(tmp_path))
     assert np.random.get_state()[1][:4].tolist() == state_before
 
 
