@@ -78,6 +78,21 @@ def _arm_wedge_watchdog(seconds: float) -> None:
     threading.Thread(target=watch, daemon=True).start()
 
 
+def _arm_deadline(seconds: float) -> None:
+    """Whole-run backstop: the first-sync watchdog disarms after the FIRST
+    regime's fetch, so a tunnel that wedges BETWEEN regimes would still hang
+    the driver forever. A healthy 3-regime run is well under 30 min even
+    cold (warmup + first compiles); past ``seconds`` we are wedged."""
+    def watch():
+        time.sleep(seconds)
+        print(f"BENCH DEADLINE: run exceeded {seconds:.0f}s — accelerator "
+              "backend likely wedged mid-run; aborting instead of hanging",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
 def build_payload(results: dict, primary: str) -> dict:
     """Assemble the single-line JSON payload the driver parses. ``results``
     maps regime -> {"value": patches/s/chip, ...}; ``primary`` is the
@@ -182,6 +197,10 @@ def main() -> int:
                    help="abort if no device step completes within this many "
                         "seconds (wedged-tunnel guard; healthy worst case is "
                         "~100s warmup + ~5 min first compile)")
+    p.add_argument("--deadline", type=float, default=3000.0,
+                   help="abort if the whole run exceeds this many seconds "
+                        "(guards against a tunnel wedging AFTER the first "
+                        "regime disarmed --wedge-timeout)")
     p.add_argument("--assert-min", type=float, default=None,
                    help="exit 1 if the primary patches/sec/chip falls below "
                         "this (regression guard; round-2 HEAD: supervised "
@@ -195,6 +214,7 @@ def main() -> int:
 
     regimes = [args.regime] if args.regime else list(REGIME_MODELS)
     _arm_wedge_watchdog(args.wedge_timeout)
+    _arm_deadline(args.deadline)
     results = {}
     for regime in regimes:
         model_type = args.model or REGIME_MODELS[regime]
