@@ -54,6 +54,11 @@ EVAL_BUCKET = 64
 # large scenes is a correctness fix, not just tuning.
 EVAL_GROUP_BUDGET_PX = 16 * 1024 * 1024
 EVAL_GROUP_CAP = 16
+# Host-side bound on one buffered wire group (the per-chip envelope above is
+# DEVICE memory; a large data mesh multiplies the group and this VM's host
+# RAM is the smaller resource — np.stack transiently doubles the group, so
+# the cap compares 2x wire bytes against this budget).
+HOST_WIRE_BUDGET_BYTES = 2 << 30
 
 
 def eval_bucket(cfg) -> int:
@@ -189,7 +194,12 @@ def _stream_wire_groups(ds, bucket: int, keys: tuple, run_group, accumulate,
     change-head forward the envelope was measured on. The envelope is
     PER-CHIP, so with a mesh the group target scales by the data-axis size:
     each chip still holds at most the measured envelope, full groups need
-    no zero-scene padding, and utilization stays flat as devices grow."""
+    no zero-scene padding, and utilization stays flat as devices grow —
+    up to a HOST byte budget: the group buffers on the host before
+    dispatch (np.stack transiently doubles it), and this VM has one small
+    CPU, so on large meshes the target is capped to keep pending+stacked
+    wires under ``HOST_WIRE_BUDGET_BYTES`` (short groups just mean
+    zero-valid padding on some chips; counts stay exact)."""
     from .parallel.mesh import data_axis_size
 
     n_data = 1 if mesh is None else data_axis_size(mesh)
@@ -212,7 +222,12 @@ def _stream_wire_groups(ds, bucket: int, keys: tuple, run_group, accumulate,
         shape = wire['x1'].shape[1:]
         group = pending.setdefault(wire['x1'].shape, [])
         group.append(wire)
-        if len(group) >= max(1, eval_group_limit(shape) // group_scale) * n_data:
+        wire_bytes = sum(v.nbytes for v in wire.values()
+                         if isinstance(v, np.ndarray))
+        host_cap = max(1, HOST_WIRE_BUDGET_BYTES // max(1, 2 * wire_bytes))
+        target = min(max(1, eval_group_limit(shape) // group_scale) * n_data,
+                     host_cap)
+        if len(group) >= target:
             dispatch(group)  # consumes synchronously (np.stack copies)
             group.clear()
     for group in pending.values():
@@ -333,7 +348,8 @@ def inference_loop(model, state, ds, thresholds=None,
     return {'change': _summarize(measurer)}
 
 
-def sharded_scene_probabilities(model, state, item: dict, mesh) -> np.ndarray:
+def sharded_scene_probabilities(model, state, item: dict, mesh,
+                                bucket: int = EVAL_BUCKET) -> np.ndarray:
     """Full-scene inference with the scene's HEIGHT axis sharded over the
     data mesh — the extension point for scenes that exceed a single chip's
     memory (SURVEY §5 long-context row). GSPMD inserts the conv halo
@@ -346,18 +362,20 @@ def sharded_scene_probabilities(model, state, item: dict, mesh) -> np.ndarray:
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    x1, _ = pad_to_bucket(item["x_t1"])
-    x2, _ = pad_to_bucket(item["x_t2"])
+    x1, _ = pad_to_bucket(item["x_t1"], bucket)
+    x2, _ = pad_to_bucket(item["x_t2"], bucket)
     if x1.shape[0] % mesh.size:
         # non-power-of-two meshes only (1/2/4/.../64 always divide the
         # 64-multiple height): pad the HEIGHT to lcm(bucket, mesh) — width
         # needs no mesh divisibility, and lcm keeps the zero border at its
-        # minimum (EVAL_BUCKET * mesh.size would pad both axes and deepen
-        # the padded-edge prediction delta beyond the measured envelope)
+        # minimum (bucket * mesh.size would pad both axes and deepen the
+        # padded-edge prediction delta beyond the measured envelope). With
+        # TRAINER.EVAL_PAD_MULTIPLE: 1 this degenerates to the minimum
+        # mesh-divisible height and the exactness hatch holds here too.
         import math
 
-        hp = -(-x1.shape[0] // math.lcm(EVAL_BUCKET, mesh.size)) \
-            * math.lcm(EVAL_BUCKET, mesh.size)
+        hp = -(-x1.shape[0] // math.lcm(bucket, mesh.size)) \
+            * math.lcm(bucket, mesh.size)
 
         def pad_h(a):
             out = np.zeros((hp,) + a.shape[1:], a.dtype)

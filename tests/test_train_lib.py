@@ -644,6 +644,30 @@ def test_wired_eval_mesh_sharded_matches_single_device(cfg):
                                    atol=1.0, err_msg=k)
 
 
+def test_wired_eval_host_budget_cap_keeps_counts(cfg, monkeypatch):
+    """A tight HOST_WIRE_BUDGET_BYTES forces single-wire groups (the host
+    cap that bounds pending+stacked bytes on large meshes); confusion
+    counts must be unchanged — short groups only mean more dispatches and,
+    on a mesh, zero-valid padding."""
+    cfg.MODEL.TYPE = "siameseunet"
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    ds = MultimodalCDDataset(cfg, "validation", no_augmentations=True,
+                             dataset_mode="first_last", disable_multiplier=True,
+                             disable_unlabeled=True)
+    ref = evaluation.run_measurer(model, state, ds, np.array([0.5]))
+    monkeypatch.setattr(evaluation, "HOST_WIRE_BUDGET_BYTES", 1)
+    capped = evaluation.run_measurer(model, state, ds, np.array([0.5]))
+    capped_mesh = evaluation.run_measurer(model, state, ds, np.array([0.5]),
+                                          mesh=data_mesh())
+    for k in ("TP", "TN", "FP", "FN"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(capped, k), np.float64),
+            np.asarray(getattr(ref, k), np.float64), err_msg=k)
+        np.testing.assert_allclose(
+            np.asarray(getattr(capped_mesh, k)),
+            np.asarray(getattr(ref, k)), atol=1.0, err_msg=f"{k}@mesh")
+
+
 def test_dualtask_counts_mesh_sharded_matches_single_device(cfg):
     cfg.MODEL.TYPE = "dtsiameseunet"
     cfg.DATALOADER.INCLUDE_BUILDING_LABELS = True
