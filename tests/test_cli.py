@@ -105,6 +105,61 @@ def test_preprocessing_cli(tmp_path, fixture_dataset):
     assert meta[unl][0]["buildings"] is False
 
 
+def test_qualitative_scripts_s2_config(workdir, monkeypatch):
+    """In-process drive of the figure scripts on an INPUT_MODE 's2' config
+    (baseline_siamese) — the case where the old fixed ``[:, :, n_s1:]``
+    slice truncated real bands (IndexError inside optical_rgb) before the
+    split_modalities fix."""
+    from pathlib import Path
+
+    import qualitative_comparison as qc
+    import sanity_check
+    from multimodal_siamese_cd_tpu import (checkpoints, experiment_manager,
+                                           trainers)
+    from multimodal_siamese_cd_tpu.data import synthetic
+
+    small = ["MODEL.TOPOLOGY", "[4,8]", "AUGMENTATION.CROP_SIZE", "32",
+             "TRAINER.PRECISION", "fp32"]
+
+    orig_manual = experiment_manager.setup_cfg_manual
+
+    def manual_with_fixture(name, out, dsd):
+        c = orig_manual(name, out, dsd)
+        c.merge_from_list(synthetic.fixture_cfg_overrides() + small)
+        return c
+
+    cfg = manual_with_fixture("baseline_siamese", Path(workdir["out"]),
+                              Path(workdir["data"]))
+    assert cfg.DATALOADER.INPUT_MODE == "s2"
+    model, state, _ = trainers._create_or_resume(cfg)
+    checkpoints.save_checkpoint(state, cfg.INFERENCE_CHECKPOINT, 0, cfg)
+
+    monkeypatch.setattr(qc.experiment_manager, "setup_cfg_manual",
+                        manual_with_fixture)
+    aois = list(synthetic.TEST_AOIS[:1])
+    f1 = qc.qualitative_comparison(["baseline_siamese"], workdir["out"],
+                                   workdir["data"], aois)
+    assert f1.exists()
+    f2 = qc.qualitative_comparison_zoom(["baseline_siamese"], workdir["out"],
+                                        workdir["data"], aois, [(0, 0, 16)],
+                                        colored=True)
+    assert f2.exists()
+
+    orig_load = experiment_manager.load_cfg
+
+    def load_with_fixture(name):
+        c = orig_load(name)
+        c.merge_from_list(synthetic.fixture_cfg_overrides() + small)
+        return c
+
+    monkeypatch.setattr(sanity_check.experiment_manager, "load_cfg",
+                        load_with_fixture)
+    files = sanity_check.sanity_check_dataset(
+        "baseline_siamese", workdir["data"], n_samples=1,
+        out_dir=str(Path(workdir["out"]) / "sanity"))
+    assert files and files[0].exists()
+
+
 def test_graft_entry_dryrun():
     code = (
         "import os\n"
