@@ -60,8 +60,11 @@ def analyze(label, overrides, crop, batch, regime):
 
     step, state = build_step(overrides, crop, batch, regime)
     host = np.random.default_rng(0)
-    stack = host.uniform(0, 1, (batch, 15, crop, crop)).astype(np.float32)
-    stack[:, 12:] = (stack[:, 12:] > 0.8).astype(np.float32)
+    # f16: the PRODUCTION wire format the loader ships (loader.collate —
+    # half the bytes); an f32 stack would inflate argument_size by 2x and
+    # compile a different convert graph than the training step actually runs
+    stack = host.uniform(0, 1, (batch, 15, crop, crop)).astype(np.float16)
+    stack[:, 12:] = (stack[:, 12:] > 0.8).astype(np.float16)
     lab = np.ones((batch,), np.float32)
     compiled = step.lower(state, stack, lab, jax.random.PRNGKey(3)).compile()
     m = compiled.memory_analysis()

@@ -12,7 +12,8 @@ are NOT 64-multiples), at a TRAINED checkpoint (random weights would put
 every pixel at the threshold cliff and overstate the effect):
 
   1. trains the supervised flagship briefly on synthetic 320^2 scenes
-     (tools/convergence_run.py's recipe) unless --checkpoint is given;
+     (tools/convergence_run.py's recipe) unless --skip-train reuses the
+     checkpoint already in --out-dir from a previous run;
   2. generates a second synthetic split with ~1000^2 scenes;
   3. evaluates the checkpoint on it with bucket=64 and bucket=1 and
      reports per-split F1 under both modes, the max |dF1|, and wall times.
@@ -33,7 +34,6 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-TRAIN = [f"L15-syntrain{i}" for i in range(8)]
 VAL = [f"L15-synval{i}" for i in range(2)]
 TEST = [f"L15-syntest{i}" for i in range(2)]
 

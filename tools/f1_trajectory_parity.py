@@ -370,12 +370,35 @@ def main() -> int:
               f"tpu {row['test_tpu']:.4f}  "
               f"max|d| so far {max(deltas):.4f}", flush=True)
 
+    def split_stack_host(stack):
+        """Numpy twin of train_lib.split_stack for the torch side:
+        identical slice arithmetic, zero device traffic (the jnp version's
+        concatenate would commit these host-built batches to the
+        accelerator under --tpu and np.asarray would fetch them back over
+        the tunnel — pure overhead for data only torch consumes)."""
+        n_s1_, n_s2, n_img = layout["n_s1"], layout["n_s2"], layout["n_img"]
+        s1_t1, s1_t2 = stack[..., :n_s1_], stack[..., n_s1_:2 * n_s1_]
+        s2_t1 = stack[..., 2 * n_s1_:2 * n_s1_ + n_s2]
+        s2_t2 = stack[..., 2 * n_s1_ + n_s2:n_img]
+        y_sem_t1 = stack[..., n_img:n_img + 1].astype(np.float32)
+        y_sem_t2 = stack[..., n_img + 1:n_img + 2].astype(np.float32)
+        y_change = stack[..., n_img + 2:n_img + 3].astype(np.float32)
+        mode = layout["input_mode"]
+        if mode == "s1":
+            x_t1, x_t2 = s1_t1, s1_t2
+        elif mode == "s2":
+            x_t1, x_t2 = s2_t1, s2_t2
+        else:
+            x_t1 = np.concatenate([s1_t1, s2_t1], axis=-1)
+            x_t2 = np.concatenate([s1_t2, s2_t2], axis=-1)
+        return x_t1, x_t2, y_change, y_sem_t1, y_sem_t2
+
     t0 = time.time()
     evaluate(0)
     loss_dev = []
     for s in range(args.steps):
         stack = stacks[s]
-        parts = train_lib.split_stack(stack, layout)
+        parts = split_stack_host(stack)
         opt.zero_grad()
         t_loss = torch_step(*parts, labeled[s])
         t_loss.backward()

@@ -1,10 +1,9 @@
 #!/usr/bin/env python
-"""1-core soak: does the loader's 357-vs-329 samples/s margin survive the
-host work that in-training evaluation interleaves at LOG_FREQ cadence?
+"""1-core soak: does the loader's samples/s margin over the chip's demand
+(pass the current bench number via --chip-demand) survive the host work
+that in-training evaluation interleaves at LOG_FREQ cadence?
 
-The host VM has ONE core. The training loader sustains ~357 samples/s
-(crop-first path, 1024^2 scenes) against the chip's ~329 patches/s — an 8%
-margin measured with the loader running alone. Every LOG_FREQ=100 steps the
+The host VM has ONE core. Every LOG_FREQ=100 steps the
 trainer also runs two eval passes whose HOST side (GeoTIFF/cache reads,
 pad_to_bucket copies, measurer confusion math) competes for the same core.
 This tool measures the loader's steady-state rate alone and then with a
@@ -31,10 +30,12 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def eval_host_work_loop(stop: threading.Event, ds_items, counters) -> None:
+def eval_host_work_loop(stop: threading.Event, eval_ds, counters) -> None:
     """Replay the eval pass's host-side work continuously: scene fetch from
-    the dataset (cache read + first_last assembly), pad_to_bucket, and the
-    measurer's thresholded confusion accumulation on the padded shapes."""
+    the dataset (cache read + first_last float32 assembly — PER PASS, as
+    ``run_measurer``'s item path pays it, not a one-time pre-materialized
+    list), pad_to_bucket, and the measurer's thresholded confusion
+    accumulation on the padded shapes."""
     from multimodal_siamese_cd_tpu.evaluation import pad_to_bucket
     from multimodal_siamese_cd_tpu.metrics import MultiThresholdMetric
 
@@ -42,7 +43,8 @@ def eval_host_work_loop(stop: threading.Event, ds_items, counters) -> None:
     rng = np.random.default_rng(0)
     while not stop.is_set():
         measurer = MultiThresholdMetric(thresholds)
-        for item in ds_items:
+        for i in range(len(eval_ds)):
+            item = eval_ds[i]  # full-scene cache read + assembly, each pass
             x1, valid = pad_to_bucket(item["x_t1"])
             pad_to_bucket(item["x_t2"])
             y, _ = pad_to_bucket(item["y_change"])
@@ -95,6 +97,15 @@ def measure_loader(loader, seconds: float) -> float:
 
 
 def main() -> int:
+    # "Pure host measurement (no TPU)" — enforce it: the measurer's jnp
+    # accumulators and add_sample math would otherwise land on the pinned
+    # axon backend (tunnel artifacts when healthy; a silently-hung eval
+    # thread when the tunnel is wedged). CPU keeps every replayed byte of
+    # eval work on the contended host core, which is the worst case the
+    # margin verdict wants.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     p = argparse.ArgumentParser()
     p.add_argument("--scene", type=int, default=1000)
     p.add_argument("--seconds", type=float, default=30.0)
@@ -103,6 +114,10 @@ def main() -> int:
                    help="replay the fused wire eval path's host work "
                         "(the production path since the fused measurer) "
                         "instead of the legacy float32 item path")
+    p.add_argument("--chip-demand", type=float, default=None,
+                   help="current chip patches/s from bench.py; echoed into "
+                        "the JSON for the margin comparison (omitted when "
+                        "not given — never baked into the source)")
     args = p.parse_args()
 
     from multimodal_siamese_cd_tpu.config import load_cfg
@@ -143,9 +158,10 @@ def main() -> int:
         eval_target = wire_eval_host_work_loop
         eval_args = (eval_ds, EVAL_BUCKET)
     else:
-        eval_items = [eval_ds[i] for i in range(len(eval_ds))]
+        for i in range(len(eval_ds)):  # warm the scene cache, not the items
+            eval_ds[i]
         eval_target = eval_host_work_loop
-        eval_args = (eval_items,)
+        eval_args = (eval_ds,)
 
     # Warm the scene cache fully: every (aoi, timestamp) pair must be
     # decoded before the timed window, else first-epoch GeoTIFF decodes
@@ -180,8 +196,9 @@ def main() -> int:
         "eval_scenes_per_sec_concurrent": round(eval_rate, 2),
         "scene_class": args.scene,
         "eval_path": "wire" if args.wire else "item",
-        "chip_demand_patches_per_sec": 333.7,
     }
+    if args.chip_demand is not None:
+        result["chip_demand_patches_per_sec"] = args.chip_demand
     print(json.dumps(result))
     return 0
 
