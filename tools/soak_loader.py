@@ -30,9 +30,28 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def eval_host_work_loop(stop: threading.Event, eval_ds, counters) -> None:
-    """Replay the eval pass's host-side work continuously: scene fetch from
-    the dataset (cache read + first_last float32 assembly — PER PASS, as
+def _burst_loop(stop: threading.Event, one_pass, period) -> None:
+    """Drive the eval-work replay either CONTINUOUSLY (``period`` None — the
+    adversarial ceiling) or DUTY-CYCLED at the production cadence: the
+    trainer runs TWO passes (training + validation protocols) every
+    LOG_FREQ=100 steps, then trains for ~LOG_FREQ x step_time before the
+    next burst; ``period`` is that full cycle length in seconds."""
+    while not stop.is_set():
+        t0 = time.perf_counter()
+        one_pass()
+        if stop.is_set():
+            return
+        one_pass()
+        if period is not None:
+            rest = period - (time.perf_counter() - t0)
+            if rest > 0:
+                stop.wait(rest)
+
+
+def eval_host_work_loop(stop: threading.Event, eval_ds, counters,
+                        period=None) -> None:
+    """Replay the eval pass's host-side work: scene fetch from the dataset
+    (cache read + first_last float32 assembly — PER PASS, as
     ``run_measurer``'s item path pays it, not a one-time pre-materialized
     list), pad_to_bucket, and the measurer's thresholded confusion
     accumulation on the padded shapes."""
@@ -41,9 +60,12 @@ def eval_host_work_loop(stop: threading.Event, eval_ds, counters) -> None:
 
     thresholds = np.asarray([0.5])
     rng = np.random.default_rng(0)
-    while not stop.is_set():
+
+    def one_pass():
         measurer = MultiThresholdMetric(thresholds)
         for i in range(len(eval_ds)):
+            if stop.is_set():
+                return
             item = eval_ds[i]  # full-scene cache read + assembly, each pass
             x1, valid = pad_to_bucket(item["x_t1"])
             pad_to_bucket(item["x_t2"])
@@ -54,21 +76,23 @@ def eval_host_work_loop(stop: threading.Event, eval_ds, counters) -> None:
             measurer.add_sample(y[None, ..., 0], probs[None],
                                 valid_mask=valid[None])
             counters["eval_scenes"] += 1
-            if stop.is_set():
-                return
+
+    _burst_loop(stop, one_pass, period)
 
 
 def wire_eval_host_work_loop(stop: threading.Event, eval_ds, bucket,
-                             counters) -> None:
-    """Replay the FUSED eval path's host-side work continuously: eval_wire
-    planar assembly plus the per-group np.stack — confusion math and the
-    float32 materialization moved on-device (evaluation._measure_wired), so
-    this is everything that still competes for the host core."""
+                             counters, period=None) -> None:
+    """Replay the FUSED eval path's host-side work: eval_wire planar
+    assembly plus the per-group np.stack — confusion math and the float32
+    materialization moved on-device (evaluation._measure_wired), so this is
+    everything that still competes for the host core."""
     from multimodal_siamese_cd_tpu.evaluation import eval_group_limit
 
-    while not stop.is_set():
+    def one_pass():
         pending: dict = {}
         for i in range(len(eval_ds)):
+            if stop.is_set():
+                return
             w = eval_ds.eval_wire(i, bucket)
             group = pending.setdefault(w["x1"].shape, [])
             group.append(w)
@@ -77,12 +101,12 @@ def wire_eval_host_work_loop(stop: threading.Event, eval_ds, bucket,
                     np.stack([g[k] for g in group])
                 group.clear()
             counters["eval_scenes"] += 1
-            if stop.is_set():
-                return
         for group in pending.values():
             if group:
                 for k in ("x1", "x2", "y", "valid"):
                     np.stack([g[k] for g in group])
+
+    _burst_loop(stop, one_pass, period)
 
 
 def measure_loader(loader, seconds: float) -> float:
@@ -118,6 +142,11 @@ def main() -> int:
                    help="current chip patches/s from bench.py; echoed into "
                         "the JSON for the margin comparison (omitted when "
                         "not given — never baked into the source)")
+    p.add_argument("--duty-period", type=float, default=None,
+                   help="replay eval bursts (2 passes) every this many "
+                        "seconds — the PRODUCTION cadence (LOG_FREQ=100 "
+                        "steps x 24.3 ms = 2.43 s for the supervised "
+                        "flagship) instead of the continuous worst case")
     args = p.parse_args()
 
     from multimodal_siamese_cd_tpu.config import load_cfg
@@ -162,6 +191,7 @@ def main() -> int:
             eval_ds[i]
         eval_target = eval_host_work_loop
         eval_args = (eval_ds,)
+    eval_kwargs = {"period": args.duty_period}
 
     # Warm the scene cache fully: every (aoi, timestamp) pair must be
     # decoded before the timed window, else first-epoch GeoTIFF decodes
@@ -177,7 +207,7 @@ def main() -> int:
 
     stop = threading.Event()
     counters = {"eval_scenes": 0}
-    t = threading.Thread(target=eval_target,
+    t = threading.Thread(target=eval_target, kwargs=eval_kwargs,
                          args=(stop, *eval_args, counters), daemon=True)
     t.start()
     t0 = time.perf_counter()
@@ -196,6 +226,8 @@ def main() -> int:
         "eval_scenes_per_sec_concurrent": round(eval_rate, 2),
         "scene_class": args.scene,
         "eval_path": "wire" if args.wire else "item",
+        "eval_cadence": ("continuous" if args.duty_period is None
+                         else f"duty_{args.duty_period}s"),
     }
     if args.chip_demand is not None:
         result["chip_demand_patches_per_sec"] = args.chip_demand
