@@ -241,9 +241,13 @@ def _lzw_decode_py(data: bytes, limit: int = 0) -> bytes:
             raise ValueError(
                 "Corrupt LZW stream: output exceeds the block limit")
         prev = entry
-        # TIFF "early change", decoder side: the decoder's table lags the
-        # encoder's by one entry, so widen when two slots from the boundary.
-        if len(table) + 2 >= (1 << nbits) and nbits < 12:
+        # TIFF "early change", decoder side (libtiff tif_lzw.c rule): widen
+        # when the NEXT free slot is one from the boundary — len(table) is
+        # that slot, so at 511/1023/2047 entries the following code arrives
+        # one bit wider. (The old `+ 2` widened one code early and desynced
+        # on every real libtiff/GDAL stream at the 9->10-bit boundary;
+        # verified against libtiff.so.6.)
+        if len(table) + 1 >= (1 << nbits) and nbits < 12:
             nbits += 1
             maxcode = (1 << nbits) - 1
     return bytes(out)

@@ -124,9 +124,12 @@ static PyObject *py_lzw_decode(PyObject *self, PyObject *args) {
         out_len += entry_len;
         prev_code = code;
 
-        /* TIFF early change, decoder side: the decoder's table lags the
-         * encoder's by one entry, so widen two slots early. */
-        if (next_code + 2 >= (1u << nbits) && nbits < 12) nbits++;
+        /* TIFF early change, decoder side (libtiff tif_lzw.c rule): widen
+         * when next_code — the next free slot — is one from the boundary,
+         * i.e. at 511/1023/2047 entries the following code is one bit
+         * wider. (`+ 2` widened a code early and desynced on every real
+         * libtiff/GDAL stream; verified against libtiff.so.6.) */
+        if (next_code + 1 >= (1u << nbits) && nbits < 12) nbits++;
     }
 
     {

@@ -3,6 +3,7 @@ and compressions, LZW/PackBits/predictor decode, georeferencing, mosaicking."""
 
 import struct
 import zlib
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -148,7 +149,11 @@ def _lzw_encode_reference(data: bytes) -> bytes:
                 table = {bytes([i]): i for i in range(256)}
                 next_code = 258
                 nbits = 9
-            elif next_code == (1 << nbits) - 1 and nbits < 12:
+            # TIFF early change, encoder side: the DECODER's table lags one
+            # entry and widens at 511/1023/2047, so the encoder must write
+            # wider from its 512th/1024th/2048th entry on (libtiff-pinned:
+            # a stream encoded here decodes bit-exactly via libtiff.so.6)
+            elif next_code == (1 << nbits) and nbits < 12:
                 nbits += 1
             w = c
     if w:
@@ -168,6 +173,35 @@ def test_lzw_read(tmp_path):
     f = _write_with_compression(tmp_path, [list(raw)], 5, compressed)
     back, _ = geotiff.imread(f)
     np.testing.assert_array_equal(back[0, :, 0], np.frombuffer(raw, np.uint8))
+
+
+def test_lzw_read_libtiff_fixture():
+    """Decode a GENUINE libtiff-written LZW TIFF (tests/data/libtiff_lzw.tif:
+    4x8192 random bytes, one strip — crosses every code-width boundary
+    (511/1023/2047) AND the 4094-entry CLEAR reset). Round 3 found that both
+    shipped decoders widened the code width one code early: the self-
+    round-trip suite passed (the test encoder mirrored the bug at sizes
+    that never crossed a boundary) while every real libtiff/GDAL LZW file
+    raised 'Corrupt LZW stream'. This fixture pins interop with the real
+    world, independent of the in-repo encoder."""
+    f = Path(__file__).parent / "data" / "libtiff_lzw.tif"
+    back, _ = geotiff.imread(f)
+    want = np.random.default_rng(0).integers(0, 256, size=(4, 8192),
+                                             dtype=np.uint8)
+    np.testing.assert_array_equal(back[:, :, 0], want)
+
+
+def test_lzw_roundtrip_across_width_boundaries(tmp_path):
+    """40 KB of incompressible data through the libtiff-pinned test encoder
+    and BOTH decoders: crosses 9->10->11->12 bits and the CLEAR reset.
+    (The old 200-byte fixture never left 9-bit codes, which is how the
+    early-change off-by-one survived.)"""
+    rng = np.random.default_rng(1)
+    raw = rng.integers(0, 256, size=40000, dtype=np.uint8).tobytes()
+    enc = _lzw_encode_reference(raw)
+    assert geotiff._lzw_decode_py(enc) == raw
+    if geotiff._fastcodecs is not None:
+        assert geotiff._fastcodecs.lzw_decode(enc, 0) == raw
 
 
 def test_predictor2_deflate_read(tmp_path):
