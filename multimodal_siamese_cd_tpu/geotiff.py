@@ -394,12 +394,42 @@ def imread(path: str | Path) -> tuple[np.ndarray, dict]:
     if not width or not height:
         raise ValueError(f"Corrupt TIFF: missing image dimensions: {path}")
     spp = ifd.scalar(TAG_SAMPLES_PER_PIXEL, 1)
-    bits = ifd.scalar(TAG_BITS_PER_SAMPLE, 8)
+    bits_all = ifd.value(TAG_BITS_PER_SAMPLE) or (8,)
+    if len(set(bits_all)) > 1:
+        # heterogeneous per-channel depths: frombuffer with one dtype would
+        # silently interleave garbage; reject loudly instead
+        raise ValueError(
+            f"Unsupported TIFF: heterogeneous BitsPerSample {bits_all}: {path}")
+    bits = bits_all[0]
+    photometric = ifd.scalar(TAG_PHOTOMETRIC, 1)
+    if photometric not in (0, 1, 2):
+        # palette indices / transparency masks / YCbCr / CMYK would decode
+        # to values that are NOT pixel intensities — "rejects the rest
+        # loudly" (palette files carry a ColorMap this codec does not apply)
+        raise ValueError(
+            f"Unsupported TIFF: PhotometricInterpretation {photometric} "
+            f"(supported: 0/1 grayscale, 2 RGB): {path}")
     sample_format = ifd.scalar(TAG_SAMPLE_FORMAT, SAMPLEFORMAT_UINT)
     compression = ifd.scalar(TAG_COMPRESSION, COMPRESSION_NONE)
     predictor = ifd.scalar(TAG_PREDICTOR, 1)
     planar = ifd.scalar(TAG_PLANAR_CONFIG, 1)
     dtype = _dtype_from(bits, sample_format, order)
+
+    # Hard plausibility caps BEFORE any allocation: the structural
+    # block-count check below is satisfiable by a tiny forged file claiming
+    # one enormous sparse tile (65535^2 -> one offset), and np.empty under
+    # Linux overcommit "succeeds" then OOM-kills on first touch instead of
+    # raising. Real SpaceNet7/Sentinel rasters are well under these bounds.
+    MAX_SIDE = 1 << 17         # 131072 px per side
+    MAX_IMAGE_BYTES = 1 << 34  # 16 GiB decoded
+    if width > MAX_SIDE or height > MAX_SIDE or not 1 <= spp <= 1024:
+        raise ValueError(
+            f"Corrupt TIFF: implausible dimensions {height}x{width}x{spp} "
+            f"(cap {MAX_SIDE} px/side, 1024 samples): {path}")
+    if width * height * spp * dtype.itemsize > MAX_IMAGE_BYTES:
+        raise ValueError(
+            f"Corrupt TIFF: {height}x{width}x{spp}x{dtype.itemsize}B "
+            f"exceeds the {MAX_IMAGE_BYTES >> 30} GiB decode cap: {path}")
 
     tiled = TAG_TILE_OFFSETS in ifd.tags
     if tiled:
@@ -409,6 +439,11 @@ def imread(path: str | Path) -> tuple[np.ndarray, dict]:
         th = ifd.scalar(TAG_TILE_LENGTH)
         if not tw or not th:
             raise ValueError(f"Corrupt TIFF: tiled without tile dimensions: {path}")
+        if tw > MAX_SIDE or th > MAX_SIDE or (
+                tw * th * (1 if planar == 2 else spp) * dtype.itemsize
+                > MAX_IMAGE_BYTES):
+            raise ValueError(
+                f"Corrupt TIFF: implausible tile size {th}x{tw}: {path}")
     else:
         offsets = ifd.value(TAG_STRIP_OFFSETS)
         counts = ifd.value(TAG_STRIP_BYTE_COUNTS)
@@ -537,7 +572,10 @@ def _read_geo(ifd: _TiffIFD) -> dict:
             if location == 0:
                 kv[key_id] = value
         epsg = kv.get(GEOKEY_PROJECTED_CS_TYPE) or kv.get(GEOKEY_GEOGRAPHIC_TYPE)
-        if epsg and 1024 <= epsg < 32768 + 32768:
+        # 32767 is "user-defined" per the GeoTIFF spec — a custom CRS this
+        # codec cannot express; crs stays None rather than minting a bogus
+        # EPSG:32767 that a read-modify-write cycle would re-emit
+        if epsg and 1024 <= epsg < 32768 + 32768 and epsg != 32767:
             meta["crs"] = CRS(int(epsg))
         meta["geokeys"] = kv
     return meta
@@ -564,8 +602,14 @@ def imwrite(path: str | Path, arr: np.ndarray,
     height, width, spp = arr.shape
     arr = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<"))
 
-    comp_code = {"none": COMPRESSION_NONE, "deflate": COMPRESSION_DEFLATE_ADOBE,
-                 "zlib": COMPRESSION_DEFLATE_ADOBE}[compression]
+    comp_codes = {"none": COMPRESSION_NONE, "deflate": COMPRESSION_DEFLATE_ADOBE,
+                  "zlib": COMPRESSION_DEFLATE_ADOBE}
+    if compression not in comp_codes:
+        raise ValueError(
+            f"Unsupported write compression {compression!r}; supported: "
+            f"{sorted(comp_codes)} (the READER additionally decodes "
+            f"lzw/packbits, but this writer does not emit them)")
+    comp_code = comp_codes[compression]
     if rows_per_strip is None:
         row_bytes = max(1, width * spp * arr.dtype.itemsize)
         rows_per_strip = max(1, min(height, (1 << 20) // row_bytes))
@@ -597,8 +641,13 @@ def imwrite(path: str | Path, arr: np.ndarray,
 
     if transform is not None:
         t = Affine(*transform) if not isinstance(transform, Affine) else transform
-        if t.b == 0.0 and t.d == 0.0:
-            add(TAG_MODEL_PIXEL_SCALE, 12, [abs(t.a), abs(t.e), 0.0])
+        if t.b == 0.0 and t.d == 0.0 and t.a > 0.0 and t.e < 0.0:
+            # PixelScale+Tiepoint can only express the north-up x-east
+            # orientation (ScaleX/ScaleY positive, y decreasing); an
+            # axis-flipped transform (a<0 or e>0) must go through
+            # ModelTransformation or the read-back georeferencing would be
+            # silently mirrored
+            add(TAG_MODEL_PIXEL_SCALE, 12, [t.a, -t.e, 0.0])
             add(TAG_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, t.c, t.f, 0.0])
         else:
             add(TAG_MODEL_TRANSFORMATION, 12,

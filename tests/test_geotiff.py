@@ -61,6 +61,26 @@ def test_georeferencing_roundtrip(tmp_path):
     assert meta["crs"] == CRS(32633)
 
 
+def test_flipped_transform_roundtrip(tmp_path):
+    """An axis-flipped (south-up) transform cannot be expressed as
+    PixelScale+Tiepoint — the writer must route it through
+    ModelTransformation instead of silently mirroring the georeferencing
+    on read-back."""
+    arr = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    f = tmp_path / "flip.tif"
+    for t in (Affine(0.5, 0.0, 10.0, 0.0, 0.5, 20.0),    # e > 0 (south-up)
+              Affine(-0.5, 0.0, 10.0, 0.0, -0.5, 20.0)):  # a < 0
+        geotiff.imwrite(f, arr, transform=t, crs=4326)
+        _, meta = geotiff.imread(f)
+        assert tuple(meta["transform"]) == pytest.approx(tuple(t))
+
+
+def test_writer_unsupported_compression_raises(tmp_path):
+    arr = np.zeros((2, 2, 1), np.uint8)
+    with pytest.raises(ValueError, match="lzw"):
+        geotiff.imwrite(tmp_path / "x.tif", arr, compression="lzw")
+
+
 def test_affine_unpacking_order():
     t = Affine(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
     _, _, c, _, _, f, *_ = t

@@ -58,7 +58,8 @@ def _apply_predictor2(block: np.ndarray) -> np.ndarray:
 
 def forge_tiff(path, arr, *, order="<", tiled=False, tile=(16, 16),
                rows_per_strip=None, planar=1, compression=1, predictor=1,
-               sparse_blocks=(), extra_entries=(), magic=42,
+               sparse_blocks=(), extra_entries=(), override_entries=(),
+               magic=42,
                drop_blocks=0, pad_last_strip=False):
     """Write ``arr`` (H, W, C) as a TIFF in an arbitrary GDAL-style layout."""
     arr = np.asarray(arr)
@@ -119,6 +120,9 @@ def forge_tiff(path, arr, *, order="<", tiled=False, tile=(16, 16),
     entries.append((cnt_tag, 4, [len(p) if i not in sparse_blocks else 0
                                  for i, p in enumerate(payloads[:n_blocks])]))
     entries.extend(extra_entries)
+    for tag, typ, values in override_entries:
+        entries = [e for e in entries if e[0] != tag]
+        entries.append((tag, typ, list(values)))
     entries.sort(key=lambda e: e[0])
 
     type_size = {3: 2, 4: 4, 12: 8}
@@ -330,6 +334,52 @@ def test_predictor3_rejected(tmp_path):
     f = forge_tiff(tmp_path / "p3.tif", arr, predictor=3)
     with pytest.raises(NotImplementedError, match="predictor"):
         geotiff.imread(f)
+
+
+def test_heterogeneous_bits_rejected(tmp_path):
+    """Per-channel bit depths differ: frombuffer with one dtype would
+    silently interleave garbage — must reject loudly."""
+    arr = _demo_array(8, 8, 2, dtype=np.uint8)
+    f = forge_tiff(tmp_path / "hb.tif", arr,
+                   override_entries=[(258, 3, [8, 16])])
+    with pytest.raises(ValueError, match="BitsPerSample"):
+        geotiff.imread(f)
+
+
+def test_palette_photometric_rejected(tmp_path):
+    """Palette-color files decode to colormap INDICES, not intensities —
+    reject instead of serving wrong pixel values."""
+    arr = _demo_array(8, 8, 1, dtype=np.uint8)
+    f = forge_tiff(tmp_path / "pal.tif", arr,
+                   override_entries=[(262, 3, [3])])
+    with pytest.raises(ValueError, match="Photometric"):
+        geotiff.imread(f)
+
+
+def test_forged_huge_dimensions_rejected(tmp_path):
+    """A ~200-byte file claiming a 140000^2 image as one sparse tile: the
+    structural block-count check is satisfied (1 tile, 1 offset), so only
+    an explicit plausibility cap turns the would-be multi-GiB allocation
+    (OOM-kill under overcommit) into a clean ValueError."""
+    arr = _demo_array(16, 16, 1, dtype=np.uint8)
+    f = forge_tiff(tmp_path / "huge.tif", arr, tiled=True, tile=(16, 16),
+                   sparse_blocks=(0,),
+                   override_entries=[(256, 4, [140000]), (257, 4, [140000]),
+                                     (322, 4, [140000]), (323, 4, [140000])])
+    with pytest.raises(ValueError, match="implausible|cap"):
+        geotiff.imread(f)
+
+
+def test_user_defined_geokey_yields_no_crs(tmp_path):
+    """GeoKey 32767 is 'user-defined' per spec — must NOT be minted into a
+    bogus EPSG:32767 that a read-modify-write would re-emit."""
+    arr = _demo_array(8, 8, 1, dtype=np.uint8)
+    f = forge_tiff(tmp_path / "udcrs.tif", arr,
+                   extra_entries=[(34735, 3, [1, 1, 0, 2,
+                                              1024, 0, 1, 1,
+                                              3072, 0, 1, 32767])])
+    _, meta = geotiff.imread(f)
+    assert meta.get("crs") is None
 
 
 def test_writer_refuses_4gib(tmp_path, monkeypatch):
