@@ -211,6 +211,25 @@ def test_lzw_read_libtiff_fixture():
     np.testing.assert_array_equal(back[:, :, 0], want)
 
 
+@pytest.mark.parametrize("name", ["libtiff_lzw_pred2_u16.tif",
+                                  "libtiff_deflate_pred2_u16.tif"])
+def test_libtiff_predictor2_u16_fixtures(name):
+    """libtiff-written predictor-2 16-bit fixtures (4x3000 random u16, one
+    strip): predictor differencing is per-SAMPLE, and 16-bit samples are
+    where a per-byte implementation would silently corrupt — pin the
+    decode against real libtiff bytes (generated via ctypes libtiff.so.6,
+    same session that pinned the LZW early-change rule)."""
+    f = Path(__file__).parent / "data" / name
+    back, _ = geotiff.imread(f)
+    want = np.random.default_rng(2)  # same stream the generator drew from
+    want.integers(0, 256, (4, 6000), np.uint8)   # lzw_pred2_u8 draw
+    want.integers(0, 256, (4, 6000), np.uint8)   # def_pred2_u8 draw
+    lzw_u16 = want.integers(0, 65536, (4, 3000)).astype(np.uint16)
+    def_u16 = want.integers(0, 65536, (4, 3000)).astype(np.uint16)
+    expect = lzw_u16 if "lzw" in name else def_u16
+    np.testing.assert_array_equal(back[:, :, 0], expect)
+
+
 def test_lzw_roundtrip_across_width_boundaries(tmp_path):
     """40 KB of incompressible data through the libtiff-pinned test encoder
     and BOTH decoders: crosses 9->10->11->12 bits and the CLEAR reset.
