@@ -244,6 +244,52 @@ def test_imagery_panel_per_input_mode():
     assert panel.shape == (8, 9, 3)               # SAR grayscale, no crash
 
 
+def test_png_decodes_via_libpng(tmp_path):
+    """Foreign-implementation pin for the PNG writer (the LZW lesson:
+    self-roundtrips prove nothing about interop): libpng16's simplified
+    API must decode our output bit-exactly. Skipped when libpng16 is not
+    on the system."""
+    import ctypes
+
+    try:
+        lp = ctypes.CDLL("libpng16.so.16")
+    except OSError:
+        pytest.skip("libpng16 not available")
+
+    class PngImage(ctypes.Structure):
+        _fields_ = [("opaque", ctypes.c_void_p),
+                    ("version", ctypes.c_uint32),
+                    ("width", ctypes.c_uint32),
+                    ("height", ctypes.c_uint32),
+                    ("format", ctypes.c_uint32),
+                    ("flags", ctypes.c_uint32),
+                    ("colormap_entries", ctypes.c_uint32),
+                    ("warning_or_error", ctypes.c_uint32),
+                    ("message", ctypes.c_char * 64)]
+
+    lp.png_image_begin_read_from_file.argtypes = [
+        ctypes.POINTER(PngImage), ctypes.c_char_p]
+    lp.png_image_finish_read.argtypes = [
+        ctypes.POINTER(PngImage), ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_void_p]
+
+    img = np.random.default_rng(0).integers(
+        0, 256, size=(37, 53, 3), dtype=np.uint8)
+    f = png.write_png(tmp_path / "x.png", img)
+
+    im = PngImage()
+    im.version = 1
+    assert lp.png_image_begin_read_from_file(
+        ctypes.byref(im), str(f).encode()) != 0, im.message
+    assert (im.width, im.height) == (53, 37)
+    im.format = 2  # PNG_FORMAT_RGB
+    buf = ctypes.create_string_buffer(im.width * im.height * 3)
+    assert lp.png_image_finish_read(
+        ctypes.byref(im), None, buf, 0, None) != 0, im.message
+    got = np.frombuffer(buf.raw, np.uint8).reshape(im.height, im.width, 3)
+    np.testing.assert_array_equal(got, img)
+
+
 def test_visualization_panels():
     img = np.random.default_rng(0).uniform(size=(10, 12, 6)).astype(np.float32)
     rgb = visualization.optical_rgb(img)
