@@ -243,6 +243,45 @@ def test_lzw_roundtrip_across_width_boundaries(tmp_path):
         assert geotiff._fastcodecs.lzw_decode(enc, 0) == raw
 
 
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.float32])
+def test_writer_output_decodes_via_libtiff(tmp_path, dtype):
+    """Foreign-implementation pin for the WRITER: real libtiff must decode
+    imwrite's striped deflate output bit-exactly (the reference stack
+    reads rasters through GDAL/libtiff, so our written tifs must be
+    readable there). Skipped when libtiff is not on the system."""
+    import ctypes
+
+    try:
+        lt = ctypes.CDLL("libtiff.so.6")
+    except OSError:
+        pytest.skip("libtiff not available")
+    lt.TIFFOpen.restype = ctypes.c_void_p
+    lt.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lt.TIFFReadScanline.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_uint32, ctypes.c_uint16]
+    lt.TIFFClose.argtypes = [ctypes.c_void_p]
+
+    rng = np.random.default_rng(4)
+    if dtype is np.float32:
+        arr = rng.uniform(0, 1, size=(9, 31, 3)).astype(np.float32)
+    else:
+        arr = rng.integers(0, np.iinfo(dtype).max + 1,
+                           size=(9, 31, 3)).astype(dtype)
+    f = tmp_path / "w.tif"
+    geotiff.imwrite(f, arr, compression="deflate")
+
+    tif = lt.TIFFOpen(str(f).encode(), b"r")
+    assert tif, "libtiff refused to open our file"
+    row_bytes = 31 * 3 * arr.dtype.itemsize
+    buf = ctypes.create_string_buffer(row_bytes)
+    rows = []
+    for r in range(9):
+        assert lt.TIFFReadScanline(tif, buf, r, 0) == 1, f"row {r}"
+        rows.append(np.frombuffer(buf.raw, arr.dtype).reshape(31, 3).copy())
+    lt.TIFFClose(tif)
+    np.testing.assert_array_equal(np.stack(rows), arr)
+
+
 def test_predictor2_deflate_read(tmp_path):
     vals = np.array([10, 12, 11, 11, 15], dtype=np.uint8)
     diffs = np.diff(vals, prepend=vals[:1].astype(np.int16)).astype(np.uint8)
