@@ -27,8 +27,8 @@ SpaceNet7/Sentinel tiles live in, and REJECTS the rest loudly):
   * GDAL sparse files: blocks with offset 0 / byte count 0 read as zeros
     (GDAL's missing-block semantics).
   * strips or tiles × chunky or planar (PlanarConfiguration 2) × none/
-    LZW/deflate/PackBits × horizontal-differencing predictor (2) in any
-    combination; the floating-point predictor (3) is rejected.
+    LZW/deflate/PackBits × horizontal-differencing predictor (2) or the
+    floating-point predictor (3, libtiff-pinned) in any combination.
   * unknown IFD entry field types are skipped (treated as absent), like
     libtiff; structurally corrupt or truncated files — IFD or block data
     out of bounds, short blocks, codec bitstream corruption — raise
@@ -358,8 +358,26 @@ def _dtype_from(bits: int, sample_format: int, order: str) -> np.dtype:
 def _undo_predictor(block: np.ndarray) -> np.ndarray:
     # Horizontal differencing: cumulative sum along the width axis.
     if block.dtype.kind == "f":
-        raise NotImplementedError("Floating-point predictor (3) not supported")
+        raise ValueError(
+            "predictor 2 on float samples is invalid (floats use 3)")
     return np.cumsum(block, axis=1, dtype=block.dtype)
+
+
+def _undo_fp_predictor(raw: bytes, rows: int, n_vals_row: int,
+                       itemsize: int, stride: int) -> bytes:
+    """TIFF floating-point predictor (3): each row's sample bytes are
+    stored as byte PLANES ordered MSB..LSB with byte-wise horizontal
+    differencing at the sample stride (libtiff tif_predict.c fpAcc
+    semantics — pinned against libtiff-written f32/f64 files). Returns
+    little-endian sample bytes for the first ``rows`` rows."""
+    cc = n_vals_row * itemsize
+    a = np.frombuffer(raw, np.uint8, count=rows * cc).reshape(rows, cc)
+    acc = np.cumsum(a.reshape(rows, cc // stride, stride), axis=1,
+                    dtype=np.uint8)  # uint8 cumsum == mod-256 accumulate
+    planes = acc.reshape(rows, itemsize, n_vals_row)
+    # plane 0 is the MSB: reverse to LSB-first, then interleave per value
+    le = np.transpose(planes[:, ::-1, :], (0, 2, 1))
+    return np.ascontiguousarray(le).tobytes()
 
 
 def imread(path: str | Path) -> tuple[np.ndarray, dict]:
@@ -505,12 +523,21 @@ def imread(path: str | Path) -> tuple[np.ndarray, dict]:
             raise ValueError(
                 f"Corrupt TIFF: block {idx} decodes to {len(raw)} bytes, "
                 f"expected {n_vals * dtype.itemsize}: {path}")
-        block = np.frombuffer(raw, dtype=dtype, count=n_vals)
+        if predictor == 3:
+            if dtype.kind != "f":
+                raise ValueError(
+                    f"Corrupt TIFF: predictor 3 on non-float samples: {path}")
+            fixed = _undo_fp_predictor(raw, rows, cols * samples_per_block,
+                                       dtype.itemsize, samples_per_block)
+            block = np.frombuffer(fixed, np.dtype(f"<f{dtype.itemsize}"),
+                                  count=n_vals)
+        else:
+            block = np.frombuffer(raw, dtype=dtype, count=n_vals)
         block = block.reshape(rows, cols * samples_per_block)
         if predictor == 2:
             block = block.reshape(rows, cols, samples_per_block)
             block = _undo_predictor(block).reshape(rows, cols * samples_per_block)
-        elif predictor != 1:
+        elif predictor not in (1, 3):
             raise NotImplementedError(
                 f"TIFF predictor {predictor} not supported")
         return block.reshape(rows, cols, samples_per_block)

@@ -230,6 +230,27 @@ def test_libtiff_predictor2_u16_fixtures(name):
     np.testing.assert_array_equal(back[:, :, 0], expect)
 
 
+@pytest.mark.parametrize("name,shape,dt", [
+    ("libtiff_fp_pred3_f32x3.tif", (5, 300, 3), np.float32),
+    ("libtiff_fp_pred3_f64.tif", (4, 200, 1), np.float64),
+])
+def test_libtiff_fp_predictor3_fixtures(name, shape, dt):
+    """libtiff-written FLOATING-POINT predictor (3) fixtures: byte-plane
+    transposition + byte-wise differencing, deflate-compressed — the
+    layout GDAL emits for float rasters with PREDICTOR=3. Decoded values
+    must be bit-exact vs the generator's draw."""
+    f = Path(__file__).parent / "data" / name
+    back, _ = geotiff.imread(f)
+    rng = np.random.default_rng(5)
+    f1 = rng.uniform(-10, 10, size=(5, 700)).astype(np.float32)
+    f3 = rng.uniform(-10, 10, size=(5, 300, 3)).astype(np.float32)
+    f64 = rng.uniform(-10, 10, size=(4, 200)).astype(np.float64)
+    del f1
+    want = f3 if "f32" in name else f64[:, :, None]
+    assert back.shape == shape and back.dtype == dt
+    np.testing.assert_array_equal(back, want)
+
+
 def test_lzw_roundtrip_across_width_boundaries(tmp_path):
     """40 KB of incompressible data through the libtiff-pinned test encoder
     and BOTH decoders: crosses 9->10->11->12 bits and the CLEAR reset.

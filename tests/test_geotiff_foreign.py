@@ -329,10 +329,13 @@ def test_short_offset_table(tmp_path):
         geotiff.imread(f)
 
 
-def test_predictor3_rejected(tmp_path):
+def test_predictor3_on_integer_samples_rejected(tmp_path):
+    """Predictor 3 is float-only per spec; on integer samples it means a
+    corrupt/forged header, not a decodable layout (valid float predictor-3
+    files are pinned by the libtiff fixtures in test_geotiff.py)."""
     arr = _demo_array(8, 8, 1, dtype=np.uint16)
     f = forge_tiff(tmp_path / "p3.tif", arr, predictor=3)
-    with pytest.raises(NotImplementedError, match="predictor"):
+    with pytest.raises(ValueError, match="predictor 3"):
         geotiff.imread(f)
 
 
