@@ -21,9 +21,9 @@ Supported envelope (the reference reads through rasterio/GDAL, which accepts
 anything — utils/geofiles.py:8-17; this codec covers the GDAL output space
 SpaceNet7/Sentinel tiles live in, and REJECTS the rest loudly):
 
-  * classic TIFF only; BigTIFF (magic 43) raises a clear ``ValueError`` —
-    classic offsets are 32-bit, so files stay < 4 GiB by construction and
-    the writer refuses layouts that would cross that line.
+  * classic TIFF and BigTIFF (magic 43, 8-byte offsets — what GDAL emits
+    for > 4 GiB rasters) on the READ side, libtiff-pinned; the writer
+    emits classic only and refuses layouts that would cross 4 GiB.
   * GDAL sparse files: blocks with offset 0 / byte count 0 read as zeros
     (GDAL's missing-block semantics).
   * strips or tiles × chunky or planar (PlanarConfiguration 2) × none/
@@ -50,7 +50,7 @@ import numpy as np
 _TYPE_FORMATS = {
     1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4), 5: ("II", 8),
     6: ("b", 1), 7: ("B", 1), 8: ("h", 2), 9: ("i", 4), 10: ("ii", 8),
-    11: ("f", 4), 12: ("d", 8), 16: ("Q", 8), 17: ("q", 8),
+    11: ("f", 4), 12: ("d", 8), 16: ("Q", 8), 17: ("q", 8), 18: ("Q", 8),
 }
 
 TAG_IMAGE_WIDTH = 256
@@ -292,18 +292,36 @@ def _decompress(data: bytes, compression: int, expected: int = 0) -> bytes:
 # --- Reader -----------------------------------------------------------------
 
 class _TiffIFD:
-    def __init__(self, buf: bytes, order: str, offset: int):
+    """IFD parser for classic TIFF and (``big=True``) BigTIFF: u64 entry
+    count, 20-byte entries with u64 value counts, 8-byte inline values and
+    u64 overflow offsets (BigTIFF spec / libtiff tif_dirread.c)."""
+
+    def __init__(self, buf: bytes, order: str, offset: int, big: bool = False):
         self.buf = buf
         self.order = order
+        self.big = big
+        self._inline = 8 if big else 4
         try:
-            (n_entries,) = struct.unpack_from(order + "H", buf, offset)
+            if big:
+                (n_entries,) = struct.unpack_from(order + "Q", buf, offset)
+                if n_entries > 65535:  # classic's natural u16 bound; a
+                    # forged u64 count would loop near-forever otherwise
+                    raise ValueError(
+                        f"Corrupt TIFF: implausible IFD entry count "
+                        f"{n_entries}")
+                pos = offset + 8
+            else:
+                (n_entries,) = struct.unpack_from(order + "H", buf, offset)
+                pos = offset + 2
             self.tags: dict[int, tuple] = {}
-            pos = offset + 2
             for _ in range(n_entries):
-                tag, typ, count = struct.unpack_from(order + "HHI", buf, pos)
-                self.tags[tag] = (typ, count, pos + 8)
-                pos += 12
-            (self.next_ifd,) = struct.unpack_from(order + "I", buf, pos)
+                tag, typ = struct.unpack_from(order + "HH", buf, pos)
+                (count,) = struct.unpack_from(
+                    order + ("Q" if big else "I"), buf, pos + 4)
+                self.tags[tag] = (typ, count, pos + (12 if big else 8))
+                pos += 20 if big else 12
+            (self.next_ifd,) = struct.unpack_from(
+                order + ("Q" if big else "I"), buf, pos)
         except struct.error as e:
             raise ValueError(f"Corrupt TIFF: IFD out of bounds ({e})") from None
 
@@ -316,10 +334,11 @@ class _TiffIFD:
             return default
         fmt, size = _TYPE_FORMATS[typ]
         total = size * count
-        if total <= 4:
+        if total <= self._inline:
             data_pos = value_pos
         else:
-            (data_pos,) = struct.unpack_from(self.order + "I", self.buf, value_pos)
+            (data_pos,) = struct.unpack_from(
+                self.order + ("Q" if self.big else "I"), self.buf, value_pos)
         if data_pos + total > len(self.buf):
             raise ValueError(
                 f"Corrupt TIFF: tag {tag} data [{data_pos}:{data_pos + total}] "
@@ -398,14 +417,19 @@ def imread(path: str | Path) -> tuple[np.ndarray, dict]:
         raise ValueError(f"Not a TIFF file (bad byte order mark): {path}")
     (magic,) = struct.unpack_from(order + "H", buf, 2)
     if magic == 43:
-        raise ValueError(
-            f"BigTIFF (magic 43) is not supported: {path} — classic TIFF "
-            f"offsets are 32-bit; re-export the raster as classic TIFF "
-            f"(< 4 GiB), e.g. gdal_translate -co BIGTIFF=NO")
-    if magic != 42:
+        # BigTIFF (libtiff "w8"/GDAL BIGTIFF=YES): 8-byte offsets
+        offsize, reserved = struct.unpack_from(order + "HH", buf, 4)
+        if offsize != 8 or reserved != 0:
+            raise ValueError(
+                f"Corrupt BigTIFF: offset size {offsize}/reserved "
+                f"{reserved} (expected 8/0): {path}")
+        (ifd_offset,) = struct.unpack_from(order + "Q", buf, 8)
+        ifd = _TiffIFD(buf, order, ifd_offset, big=True)
+    elif magic == 42:
+        (ifd_offset,) = struct.unpack_from(order + "I", buf, 4)
+        ifd = _TiffIFD(buf, order, ifd_offset)
+    else:
         raise ValueError(f"Not a TIFF file (magic {magic}, expected 42): {path}")
-    (ifd_offset,) = struct.unpack_from(order + "I", buf, 4)
-    ifd = _TiffIFD(buf, order, ifd_offset)
 
     width = ifd.scalar(TAG_IMAGE_WIDTH)
     height = ifd.scalar(TAG_IMAGE_LENGTH)
@@ -729,8 +753,9 @@ def imwrite(path: str | Path, arr: np.ndarray,
     if off > 0xFFFFFFFF:
         raise ValueError(
             f"Raster would need a {off}-byte file, beyond the 4 GiB classic "
-            f"TIFF offset limit (BigTIFF is out of this codec's envelope); "
-            f"split the raster or write tiles")
+            f"TIFF offset limit (this writer emits classic TIFF only, "
+            f"though the reader decodes BigTIFF); split the raster or "
+            f"write tiles")
 
     # Re-encode the strip-offsets entry now that offsets are known.
     tag, typ, count, _ = entries[strip_offset_entry_idx]

@@ -251,6 +251,17 @@ def test_libtiff_fp_predictor3_fixtures(name, shape, dt):
     np.testing.assert_array_equal(back, want)
 
 
+def test_libtiff_bigtiff_fixture():
+    """libtiff-written ("w8") BigTIFF: u64 IFD layout, 20-byte entries,
+    predictor-2 deflate u16x2 in 3-row strips — what GDAL emits with
+    BIGTIFF=YES / for rasters beyond 4 GiB."""
+    f = Path(__file__).parent / "data" / "libtiff_bigtiff_pred2_u16x2.tif"
+    back, _ = geotiff.imread(f)
+    want = np.random.default_rng(6).integers(
+        0, 65536, size=(6, 500, 2)).astype(np.uint16)
+    np.testing.assert_array_equal(back, want)
+
+
 def test_lzw_roundtrip_across_width_boundaries(tmp_path):
     """40 KB of incompressible data through the libtiff-pinned test encoder
     and BOTH decoders: crosses 9->10->11->12 bits and the CLEAR reset.

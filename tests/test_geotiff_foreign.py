@@ -5,10 +5,10 @@ The reference reads rasters through rasterio/GDAL, which accepts anything
 GDAL-written: tiled, planar-separate, predictor-on-deflate/LZW, sometimes
 sparse (SPARSE_OK=TRUE blocks with offset 0). This suite forges those
 layouts byte-by-byte with an independent writer and checks the in-repo
-codec decodes them exactly — and that structurally corrupt input (BigTIFF,
-truncation, offsets beyond EOF, codec bitstream garbage, decompression
-bombs) fails with a clean ValueError/NotImplementedError, never an
-IndexError/struct.error/hang (fuzzed below).
+codec decodes them exactly — and that structurally corrupt input
+(truncation, offsets beyond EOF, forged headers, codec bitstream garbage,
+decompression bombs) fails with a clean ValueError/NotImplementedError,
+never an IndexError/struct.error/hang (fuzzed below).
 """
 
 import struct
@@ -282,11 +282,26 @@ def test_unknown_tag_type_is_skipped(tmp_path):
 # Loud, clean rejection
 # ---------------------------------------------------------------------------
 
-def test_bigtiff_rejected_with_clear_error(tmp_path):
+def test_corrupt_bigtiff_raises_valueerror(tmp_path):
+    """BigTIFF is now decoded (libtiff-pinned fixture in test_geotiff.py);
+    structurally corrupt BigTIFF must still fail with clean ValueErrors."""
     f = tmp_path / "big.tif"
-    # a real BigTIFF header: II, magic 43, offsetsize 8, pad 0, ifd offset
+    # valid header, empty IFD -> no dimensions
     f.write_bytes(b"II" + struct.pack("<HHHQ", 43, 8, 0, 16) + b"\0" * 64)
-    with pytest.raises(ValueError, match="BigTIFF"):
+    with pytest.raises(ValueError, match="dimensions"):
+        geotiff.imread(f)
+    # wrong offset size
+    f.write_bytes(b"II" + struct.pack("<HHHQ", 43, 4, 0, 16) + b"\0" * 64)
+    with pytest.raises(ValueError, match="offset size"):
+        geotiff.imread(f)
+    # forged u64 entry count (would loop ~forever without the cap)
+    f.write_bytes(b"II" + struct.pack("<HHHQ", 43, 8, 0, 16)
+                  + struct.pack("<Q", 1 << 40) + b"\0" * 64)
+    with pytest.raises(ValueError, match="entry count"):
+        geotiff.imread(f)
+    # IFD offset beyond EOF
+    f.write_bytes(b"II" + struct.pack("<HHHQ", 43, 8, 0, 1 << 30))
+    with pytest.raises(ValueError, match="out of bounds"):
         geotiff.imread(f)
 
 
