@@ -33,6 +33,44 @@ def cfg(fixture_dataset, tmp_path):
     return c
 
 
+def test_pipeline_on_gdal_layout_tifs(cfg, fixture_dataset, tmp_path):
+    """Rewrite every fixture tif in GDAL-style layouts the repo's own
+    writer never emits — big-endian tiled LZW, striped deflate with the
+    FLOATING-POINT predictor (3), planar-separate PackBits — and prove the
+    cache+dataset pipeline serves IDENTICAL items. This pins the 'real
+    GDAL data will be the first thing to break' risk end to end, not just
+    at the codec layer."""
+    import shutil
+
+    from test_geotiff_foreign import forge_tiff
+
+    tree = tmp_path / "gdal_ds"
+    shutil.copytree(fixture_dataset, tree)
+    shutil.rmtree(tree / ".cache_tpu", ignore_errors=True)
+    layouts = [
+        dict(tiled=True, tile=(16, 16), compression=5, order=">"),
+        dict(compression=8, predictor=3),
+        dict(compression=32773, planar=2),
+    ]
+    tifs = sorted(tree.rglob("*.tif"))
+    assert tifs
+    for i, tif in enumerate(tifs):
+        img, _, _ = geofiles.read_tif(tif)
+        forge_tiff(tif, np.asarray(img, np.float32), **layouts[i % 3])
+
+    cfg2 = cfg.clone()
+    cfg2.PATHS.DATASET = str(tree)
+    kw = dict(no_augmentations=True, dataset_mode="first_last",
+              disable_multiplier=True, disable_unlabeled=True)
+    ds_a = MultimodalCDDataset(cfg, "validation", **kw)
+    ds_b = MultimodalCDDataset(cfg2, "validation", **kw)
+    assert len(ds_a) == len(ds_b) > 0
+    for i in range(len(ds_a)):
+        a, b = ds_a[i], ds_b[i]
+        for key in ("x_t1", "x_t2", "y_change"):
+            np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+
+
 def test_split_selection_and_multiplier(cfg):
     ds = MultimodalCDDataset(cfg, "training")
     # 2 train AOIs x multiplier 2

@@ -56,6 +56,23 @@ def _apply_predictor2(block: np.ndarray) -> np.ndarray:
     return out
 
 
+def _apply_predictor3_bytes(block: np.ndarray) -> bytes:
+    """Floating-point predictor (3) encode over a (rows, cols, samples)
+    float block: per row, MSB..LSB byte planes, then byte-wise horizontal
+    differencing at the sample stride (inverse of the decoder; layout per
+    libtiff tif_predict.c)."""
+    rows, cols, spp = block.shape
+    item = block.dtype.itemsize
+    le = np.ascontiguousarray(block.astype(block.dtype.newbyteorder("<")))
+    byts = np.frombuffer(le.tobytes(), np.uint8).reshape(rows, cols * spp, item)
+    planes = np.transpose(byts[:, :, ::-1], (0, 2, 1))  # MSB-first planes
+    flat = planes.reshape(rows, item * cols * spp)
+    g = flat.reshape(rows, flat.shape[1] // spp, spp).astype(np.int16)
+    d = np.diff(g, axis=1, prepend=g[:, :1]).astype(np.uint8)
+    d[:, 0] = g[:, 0].astype(np.uint8)
+    return d.reshape(rows, flat.shape[1]).tobytes()
+
+
 def forge_tiff(path, arr, *, order="<", tiled=False, tile=(16, 16),
                rows_per_strip=None, planar=1, compression=1, predictor=1,
                sparse_blocks=(), extra_entries=(), override_entries=(),
@@ -93,9 +110,13 @@ def forge_tiff(path, arr, *, order="<", tiled=False, tile=(16, 16),
 
     payloads = []
     for b in blocks:
-        if predictor == 2:
-            b = _apply_predictor2(b.astype(arr.dtype))
-        payloads.append(_compress_block(b.astype(dt).tobytes(), compression))
+        if predictor == 3:
+            raw = _apply_predictor3_bytes(b.astype(arr.dtype))
+        else:
+            if predictor == 2:
+                b = _apply_predictor2(b.astype(arr.dtype))
+            raw = b.astype(dt).tobytes()
+        payloads.append(_compress_block(raw, compression))
 
     spp = c
     bits = arr.dtype.itemsize * 8
