@@ -76,7 +76,7 @@ def _apply_predictor3_bytes(block: np.ndarray) -> bytes:
 def forge_tiff(path, arr, *, order="<", tiled=False, tile=(16, 16),
                rows_per_strip=None, planar=1, compression=1, predictor=1,
                sparse_blocks=(), extra_entries=(), override_entries=(),
-               magic=42,
+               magic=42, big=False,
                drop_blocks=0, pad_last_strip=False):
     """Write ``arr`` (H, W, C) as a TIFF in an arbitrary GDAL-style layout."""
     arr = np.asarray(arr)
@@ -149,14 +149,18 @@ def forge_tiff(path, arr, *, order="<", tiled=False, tile=(16, 16),
     type_size = {3: 2, 4: 4, 12: 8}
     type_fmt = {3: "H", 4: "I", 12: "d"}
 
-    header = 8
-    ifd_size = 2 + 12 * len(entries) + 4
+    # BigTIFF layout: 16-byte header, u64 entry count, 20-byte entries
+    # with 8-byte inline values, u64 overflow/next offsets
+    header = 16 if big else 8
+    ifd_size = (8 + 20 * len(entries) + 8) if big \
+        else (2 + 12 * len(entries) + 4)
+    inline_cap = 8 if big else 4
     pos = header + ifd_size
     # lay out overflow values
     locs = []
     for tag, typ, values in entries:
         total = type_size[typ] * len(values)
-        if total <= 4:
+        if total <= inline_cap:
             locs.append(None)
         else:
             locs.append(pos)
@@ -175,16 +179,23 @@ def forge_tiff(path, arr, *, order="<", tiled=False, tile=(16, 16),
 
     out = bytearray()
     bom = b"II" if order == "<" else b"MM"
-    out += bom + struct.pack(order + "HI", magic, header)
-    out += struct.pack(order + "H", len(entries))
+    if big:
+        out += bom + struct.pack(order + "HHHQ", 43, 8, 0, header)
+        out += struct.pack(order + "Q", len(entries))
+    else:
+        out += bom + struct.pack(order + "HI", magic, header)
+        out += struct.pack(order + "H", len(entries))
     for (tag, typ, values), loc in zip(entries, locs):
-        out += struct.pack(order + "HHI", tag, typ, len(values))
+        if big:
+            out += struct.pack(order + "HHQ", tag, typ, len(values))
+        else:
+            out += struct.pack(order + "HHI", tag, typ, len(values))
         if loc is None:
             inline = struct.pack(order + type_fmt[typ] * len(values), *values)
-            out += inline.ljust(4, b"\0")
+            out += inline.ljust(inline_cap, b"\0")
         else:
-            out += struct.pack(order + "I", loc)
-    out += struct.pack(order + "I", 0)
+            out += struct.pack(order + ("Q" if big else "I"), loc)
+    out += struct.pack(order + ("Q" if big else "I"), 0)
     for (tag, typ, values), loc in zip(entries, locs):
         if loc is not None:
             assert len(out) == loc, (tag, len(out), loc)
@@ -463,10 +474,29 @@ def test_deflate_bomb_guarded(tmp_path):
 ALLOWED = (ValueError, NotImplementedError)
 
 
-def test_mutation_fuzz_reader(tmp_path):
+@pytest.mark.parametrize("big,order,planar,compression,predictor", [
+    (True, "<", 1, 5, 2),
+    (True, ">", 2, 8, 1),
+    (True, "<", 1, 8, 3),
+])
+def test_bigtiff_layouts_decode_exactly(tmp_path, big, order, planar,
+                                        compression, predictor):
+    """Forged BigTIFF in GDAL-style layouts (incl. the fp predictor on
+    float data) decodes exactly through the u64 IFD parser."""
+    dtype = np.float32 if predictor == 3 else np.uint16
+    arr = _demo_array(24, 24, 2, dtype=dtype)
+    f = forge_tiff(tmp_path / "bt.tif", arr, big=big, order=order,
+                   tiled=True, tile=(16, 16), planar=planar,
+                   compression=compression, predictor=predictor)
+    back, _ = geotiff.imread(f)
+    np.testing.assert_array_equal(back, arr)
+
+
+@pytest.mark.parametrize("big", [False, True])
+def test_mutation_fuzz_reader(tmp_path, big):
     arr = _demo_array(24, 24, 2, dtype=np.uint16)
-    base = forge_tiff(tmp_path / "fz.tif", arr, tiled=True, tile=(16, 16),
-                      compression=5, predictor=2).read_bytes()
+    base = forge_tiff(tmp_path / "fz.tif", arr, big=big, tiled=True,
+                      tile=(16, 16), compression=5, predictor=2).read_bytes()
     rng = np.random.default_rng(42)
     f = tmp_path / "m.tif"
     ok = bad = 0
