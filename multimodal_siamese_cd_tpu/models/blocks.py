@@ -21,7 +21,6 @@ from flax import linen as nn
 
 from .packed import (
     PackedDoubleConv,
-    PackedDoubleConvPair,
     PackedUpsample,
     PackedConv1x1,
     pack,
@@ -44,9 +43,11 @@ class DoubleConv(nn.Module):
         for i in range(2):
             x = nn.Conv(self.out_ch, (3, 3), padding=1, use_bias=True,
                         dtype=self.dtype, name=f"conv{i + 1}")(x)
+            # axis_name is only read on the train path (_compute_stats);
+            # passing it unconditionally is safe on the running-average path
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
-                             axis_name=self.bn_axis_name if train else None,
+                             axis_name=self.bn_axis_name,
                              name=f"bn{i + 1}")(x)
             x = nn.relu(x)
         return x
@@ -65,6 +66,11 @@ class InConv(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool,
                  packed: bool = False) -> jnp.ndarray:
         if packed:
+            # local guard for the cross-module invariant networks._use_packed
+            # enforces: PackedBatchNorm has no synced-stats support, so a
+            # packed+bn_axis_name call would silently run per-replica BN
+            assert self.bn_axis_name is None, \
+                "packed layout has no synced-BN (bn_axis_name) support"
             return PackedDoubleConv(self.out_ch, self.dtype,
                                     name="conv")(pack(x), train)
         return DoubleConv(self.out_ch, self.dtype, self.bn_axis_name,
@@ -112,14 +118,16 @@ class Up(nn.Module):
             # vertically); only width may need the pad-to-skip. The skip
             # concat is LOGICAL (weight-split pair conv) — materializing a
             # packed concat costs 64-lane shuffles.
+            assert self.bn_axis_name is None, \
+                "packed layout has no synced-BN (bn_axis_name) support"
             x1 = PackedUpsample(self.up_ch, self.dtype, name="up")(x1)
             dw = x2.shape[2] - x1.shape[2]
             if dw:
                 x1 = jnp.pad(x1, ((0, 0), (0, 0),
                                   (dw // 2, dw - dw // 2), (0, 0)))
             # skip first (networks.py:449)
-            return PackedDoubleConvPair(self.out_ch, self.dtype,
-                                        name="conv")(x2, x1, train)
+            return PackedDoubleConv(self.out_ch, self.dtype,
+                                    name="conv")(x2, train, x1)
         x1 = nn.ConvTranspose(self.up_ch, (2, 2), strides=(2, 2),
                               padding="VALID", use_bias=True,
                               dtype=self.dtype, name="up")(x1)

@@ -150,23 +150,48 @@ def packed_concat(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 class StaggerConv1(nn.Module):
     """3x3/s1 SAME conv, packed input -> STAGGERED output (75%-dense (2,3)
     kernel, spurious slots zeroed). Parameters are the STANDARD nn.Conv
-    ones (kernel (3,3,in,out), bias (out)) — restructured on the fly."""
+    ones (kernel (3,3,in,out), bias (out)) — restructured on the fly.
+
+    An optional second operand ``b`` is consumed as the LOGICAL channel
+    concat ``cat(a, b)`` in weight-split form: conv(cat(a,b), W) =
+    conv(a, W_a) + conv(b, W_b) — lane-sized packed groups stay whole (a
+    materialized packed concat needs 64-lane shuffles, measured ~4.7x
+    slower, tools/bench notes). The partial conv outputs accumulate in
+    f32 (``preferred_element_type``) and round to the compute dtype ONCE,
+    so the pair path adds no extra bf16 rounding over the unpacked concat
+    conv — the module contract stays 'exact, fp reassociation only'."""
 
     features: int
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, xp: jnp.ndarray) -> jnp.ndarray:
-        cin = xp.shape[-1] // 2
+    def __call__(self, a: jnp.ndarray,
+                 b: jnp.ndarray | None = None) -> jnp.ndarray:
+        ca = a.shape[-1] // 2
+        cb = b.shape[-1] // 2 if b is not None else 0
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
-            (3, 3, cin, self.features), jnp.float32)
+            (3, 3, ca + cb, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
-        ws = stagger_conv1_weights(kernel).astype(self.dtype)
-        y = lax.conv_general_dilated(
-            xp.astype(self.dtype), ws, (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dn = ("NHWC", "HWIO", "NHWC")
+        pad = ((1, 1), (1, 1))
+        if b is None:
+            ws = stagger_conv1_weights(kernel).astype(self.dtype)
+            y = lax.conv_general_dilated(a.astype(self.dtype), ws, (1, 1),
+                                         pad, dimension_numbers=dn)
+        else:
+            wa = stagger_conv1_weights(kernel[:, :, :ca]).astype(self.dtype)
+            wb = stagger_conv1_weights(kernel[:, :, ca:]).astype(self.dtype)
+            y = (lax.conv_general_dilated(
+                     a.astype(self.dtype), wa, (1, 1), pad,
+                     dimension_numbers=dn,
+                     preferred_element_type=jnp.float32)
+                 + lax.conv_general_dilated(
+                     b.astype(self.dtype), wb, (1, 1), pad,
+                     dimension_numbers=dn,
+                     preferred_element_type=jnp.float32)
+                 ).astype(self.dtype)
         return zero_spurious(y + jnp.tile(bias, 2).astype(self.dtype))
 
 
@@ -246,14 +271,17 @@ class PackedBatchNorm(nn.Module):
 class PackedDoubleConv(nn.Module):
     """(3x3 conv -> BN -> ReLU) * 2 on packed activations via the staggered
     intermediate layout; variable tree matches blocks.DoubleConv
-    (conv1/bn1/conv2/bn2). Input and output are standard-packed."""
+    (conv1/bn1/conv2/bn2). Input and output are standard-packed. An
+    optional second operand ``b`` feeds conv1 as the logical channel
+    concat ``cat(a, b)`` (the Up skip path; see :class:`StaggerConv1`)."""
 
     out_ch: int
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, xp: jnp.ndarray, train: bool) -> jnp.ndarray:
-        s = StaggerConv1(self.out_ch, self.dtype, name="conv1")(xp)
+    def __call__(self, a: jnp.ndarray, train: bool,
+                 b: jnp.ndarray | None = None) -> jnp.ndarray:
+        s = StaggerConv1(self.out_ch, self.dtype, name="conv1")(a, b)
         s = PackedBatchNorm(use_running_average=not train, dtype=self.dtype,
                             staggered=True, name="bn1")(s)
         # BN's affine shift revives the spurious slots; re-zero them (the
@@ -287,56 +315,6 @@ class PackedUpsample(nn.Module):
         return y + jnp.tile(bias, 2).astype(self.dtype)
 
 
-class StaggerConv1Pair(nn.Module):
-    """StaggerConv1 over the LOGICAL channel-concat of two packed operands,
-    without materializing the concat: conv(cat(a, b), W) = conv(a, W_a) +
-    conv(b, W_b). Lane-sized packed groups stay whole (the materialized
-    packed concat needs 64-lane shuffles that measured ~4.7x slower,
-    tools/bench notes). Parameter shapes match the concat conv's
-    (kernel (3, 3, ca+cb, out))."""
-
-    features: int
-    dtype: Dtype = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        ca, cb = a.shape[-1] // 2, b.shape[-1] // 2
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (3, 3, ca + cb, self.features), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros,
-                          (self.features,), jnp.float32)
-        wa = stagger_conv1_weights(kernel[:, :, :ca]).astype(self.dtype)
-        wb = stagger_conv1_weights(kernel[:, :, ca:]).astype(self.dtype)
-        dn = ("NHWC", "HWIO", "NHWC")
-        pad = ((1, 1), (1, 1))
-        y = (lax.conv_general_dilated(a.astype(self.dtype), wa, (1, 1),
-                                      pad, dimension_numbers=dn)
-             + lax.conv_general_dilated(b.astype(self.dtype), wb, (1, 1),
-                                        pad, dimension_numbers=dn))
-        return zero_spurious(y + jnp.tile(bias, 2).astype(self.dtype))
-
-
-class PackedDoubleConvPair(nn.Module):
-    """PackedDoubleConv whose first conv consumes two packed operands as a
-    logical concat (skip-first, matching Up's cat order). Variable tree
-    matches blocks.DoubleConv."""
-
-    out_ch: int
-    dtype: Dtype = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, a: jnp.ndarray, b: jnp.ndarray, train: bool) -> jnp.ndarray:
-        s = StaggerConv1Pair(self.out_ch, self.dtype, name="conv1")(a, b)
-        s = PackedBatchNorm(use_running_average=not train, dtype=self.dtype,
-                            staggered=True, name="bn1")(s)
-        s = zero_spurious(nn.relu(s))
-        x = StaggerConv2(self.out_ch, self.dtype, name="conv2")(s)
-        x = PackedBatchNorm(use_running_average=not train, dtype=self.dtype,
-                            name="bn2")(x)
-        return nn.relu(x)
-
-
 class PackedConv1x1(nn.Module):
     """1x1 conv on packed operand(s) with block-diagonal packed weights;
     parameter names/shapes match nn.Conv's (kernel (1, 1, cin, out)).
@@ -365,14 +343,25 @@ class PackedConv1x1(nn.Module):
             return wp
 
         dn = ("NHWC", "HWIO", "NHWC")
-        y = lax.conv_general_dilated(
-            a.astype(self.dtype), block_diag(kernel[:, :, :ca]).astype(self.dtype),
-            (1, 1), "SAME", dimension_numbers=dn)
-        if b is not None:
-            y = y + lax.conv_general_dilated(
-                b.astype(self.dtype),
-                block_diag(kernel[:, :, ca:]).astype(self.dtype),
+        if b is None:
+            y = lax.conv_general_dilated(
+                a.astype(self.dtype),
+                block_diag(kernel[:, :, :ca]).astype(self.dtype),
                 (1, 1), "SAME", dimension_numbers=dn)
+        else:
+            # weight-split logical concat: accumulate the partial outputs
+            # in f32 and round once, matching the unpacked concat conv's
+            # single rounding (see StaggerConv1)
+            y = (lax.conv_general_dilated(
+                     a.astype(self.dtype),
+                     block_diag(kernel[:, :, :ca]).astype(self.dtype),
+                     (1, 1), "SAME", dimension_numbers=dn,
+                     preferred_element_type=jnp.float32)
+                 + lax.conv_general_dilated(
+                     b.astype(self.dtype),
+                     block_diag(kernel[:, :, ca:]).astype(self.dtype),
+                     (1, 1), "SAME", dimension_numbers=dn,
+                     preferred_element_type=jnp.float32)).astype(self.dtype)
         return y + jnp.tile(bias, 2).astype(self.dtype)
 
 
