@@ -54,7 +54,16 @@ def load_checkpoint(epoch, cfg, net_file: Path | None = None):
         'opt_state': state.opt_state,
     }
     file = checkpoint_file(cfg, epoch) if net_file is None else Path(net_file)
-    restored = serialization.from_bytes(target, file.read_bytes())
+    data = file.read_bytes()  # a MISSING file keeps its FileNotFoundError
+    try:
+        restored = serialization.from_bytes(target, data)
+    except Exception as e:
+        # name the FILE: msgpack's raw errors ("ExtraData", "incomplete
+        # input") don't say which checkpoint is corrupt/truncated, or that
+        # a checkpoint is involved at all
+        raise ValueError(
+            f"Corrupt or incompatible checkpoint {file}: "
+            f"{type(e).__name__}: {e}") from e
     state = state.replace(
         step=restored['step'],
         params=restored['params'],

@@ -451,6 +451,24 @@ def test_checkpoint_roundtrip(cfg):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_corrupt_file_raises_named_valueerror(cfg):
+    """Garbage or truncated checkpoint bytes must raise a ValueError that
+    NAMES the file — msgpack's raw 'ExtraData'/'incomplete input' say
+    neither which file nor that a checkpoint is involved. A missing file
+    keeps its FileNotFoundError."""
+    cfg.MODEL.TYPE = "siameseunet"
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    f = checkpoints.save_checkpoint(state, epoch=7, step=1, cfg=cfg)
+    good = f.read_bytes()
+    for bad in (b"not a checkpoint" * 8, good[:len(good) // 2]):
+        f.write_bytes(bad)
+        with pytest.raises(ValueError, match="checkpoint .*_checkpoint7.pt"):
+            checkpoints.load_checkpoint(7, cfg)
+    f.unlink()
+    with pytest.raises(FileNotFoundError):
+        checkpoints.load_checkpoint(7, cfg)
+
+
 def test_checkpoint_inference_checkpoint_key(cfg):
     cfg.MODEL.TYPE = "siameseunet"
     _, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
