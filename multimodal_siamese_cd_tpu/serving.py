@@ -150,17 +150,29 @@ class ServingModel:
 
     def __init__(self, path):
         self._path = Path(path)
-        with zipfile.ZipFile(self._path) as z:
-            meta = json.loads(z.read("meta.json"))
-            npz = np.load(io.BytesIO(z.read("variables.npz")))
-            bf16_leaves = set(meta.get("bf16_leaves", []))
-            self.leaves = [
-                npz[k].view(_bf16()) if i in bf16_leaves else npz[k]
-                for i, k in enumerate(npz.files)]
-            self.meta = meta
-            self.buckets = sorted(tuple(b) for b in meta["buckets"])
-            self.batch_sizes = sorted(meta.get("batch_sizes", [1]))
+        try:
+            with zipfile.ZipFile(self._path) as z:
+                self._load(z)
+        except FileNotFoundError:
+            raise
+        except Exception as e:
+            # name the bundle: zipfile/json/npz raise member- or
+            # format-level errors that don't identify the file
+            raise ValueError(
+                f"Corrupt or incompatible serving bundle {self._path}: "
+                f"{type(e).__name__}: {e}") from e
         self._fns: dict = {}
+
+    def _load(self, z):
+        meta = json.loads(z.read("meta.json"))
+        npz = np.load(io.BytesIO(z.read("variables.npz")))
+        bf16_leaves = set(meta.get("bf16_leaves", []))
+        self.leaves = [
+            npz[k].view(_bf16()) if i in bf16_leaves else npz[k]
+            for i, k in enumerate(npz.files)]
+        self.meta = meta
+        self.buckets = sorted(tuple(b) for b in meta["buckets"])
+        self.batch_sizes = sorted(meta.get("batch_sizes", [1]))
 
     def _fn(self, key):
         # artifacts are read + deserialized lazily per (b, h, w) key on

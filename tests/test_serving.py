@@ -82,6 +82,27 @@ def test_channel_mismatch_raises(bundle):
         served.predict(x, x)
 
 
+def test_corrupt_bundle_raises_named_valueerror(tmp_path):
+    """Garbage or member-stripped bundle files must raise a ValueError that
+    names the bundle (raw BadZipFile/KeyError identify neither the file
+    nor that a serving bundle is involved); a missing file keeps its
+    FileNotFoundError."""
+    import zipfile
+
+    from multimodal_siamese_cd_tpu import serving
+
+    f = tmp_path / "b.zip"
+    with pytest.raises(FileNotFoundError):
+        serving.load_serving_bundle(f)
+    f.write_bytes(b"PKgarbage" * 50)
+    with pytest.raises(ValueError, match="serving bundle .*b.zip"):
+        serving.load_serving_bundle(f)
+    with zipfile.ZipFile(f, "w") as z:   # valid zip, missing members
+        z.writestr("meta.json", "{}")
+    with pytest.raises(ValueError, match="serving bundle .*b.zip"):
+        serving.load_serving_bundle(f)
+
+
 def test_multihead_model_serves_first_head(tmp_path):
     """WhateverNet's eval forward returns the fusion head only; the bundle
     must serve exactly that (first tuple element + sigmoid)."""
