@@ -95,7 +95,12 @@ def combine_tif_patches(folder: Path, basename: str, delete_tiles: bool = False,
 
 def load_json(file: Path):
     with open(str(file)) as f:
-        return json.load(f)
+        try:
+            return json.load(f)
+        except json.JSONDecodeError as e:
+            # name the file: a corrupt metadata.json otherwise surfaces a
+            # bare position with no hint which file to fix
+            raise ValueError(f"Corrupt JSON in {file}: {e}") from None
 
 
 def write_json(file: Path, data) -> None:

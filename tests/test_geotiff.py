@@ -380,6 +380,11 @@ def test_json_roundtrip(tmp_path):
     f = tmp_path / "m.json"
     geofiles.write_json(f, data)
     assert geofiles.load_json(f) == data
+    # corrupt JSON errors must NAME the file (a bare JSONDecodeError gives
+    # a position but no hint which metadata file to fix)
+    f.write_text("{broken")
+    with pytest.raises(ValueError, match="m.json"):
+        geofiles.load_json(f)
 
 
 # --- synthetic fixture --------------------------------------------------------
