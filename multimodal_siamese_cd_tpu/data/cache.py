@@ -173,8 +173,20 @@ class SceneCache:
                     self.cache_dir.mkdir(parents=True, exist_ok=True)
                     self._build(aoi_id, modality, npy, meta_file)
                     self._prune_stale(aoi_id, modality, keep=name)
-        arr = np.load(npy, mmap_mode="r")
-        meta = json.loads(meta_file.read_text())
+        try:
+            arr = np.load(npy, mmap_mode="r")
+            meta = json.loads(meta_file.read_text())
+        except Exception:
+            # a cache entry is REGENERABLE: a corrupt/truncated file (disk
+            # hiccup, external tampering — atomic replace rules out partial
+            # writes from this code) is deleted and rebuilt once instead of
+            # surfacing an opaque np.load/json error for data we can remake
+            with _lock_for(name):
+                npy.unlink(missing_ok=True)
+                meta_file.unlink(missing_ok=True)
+                self._build(aoi_id, modality, npy, meta_file)
+            arr = np.load(npy, mmap_mode="r")
+            meta = json.loads(meta_file.read_text())
         index = {tuple(t): i for i, t in enumerate(meta["timestamps"])}
         self._open[key] = (arr, index)
         return self._open[key]

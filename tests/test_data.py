@@ -373,6 +373,27 @@ def test_cache_key_changes_when_source_tif_changes(cfg, fixture_dataset,
     assert gens[0].name == fresh._cache_key(aoi, "s1") + ".npy"
 
 
+def test_cache_self_heals_corrupt_entry(cfg, fixture_dataset, tmp_path):
+    """A corrupt packed cache file is REGENERABLE — the cache must rebuild
+    it transparently instead of surfacing an opaque np.load error."""
+    import shutil
+
+    tree = tmp_path / "ds"
+    shutil.copytree(fixture_dataset, tree)
+    meta = geofiles.load_json(tree / "metadata.json")
+    aoi = TRAIN_AOIS[0]
+    ts = meta[aoi][0]
+    cache = SceneCache(tree, meta, [0, 1], [2, 1, 0, 3], dtype="float32")
+    before = cache.load(aoi, "s1", ts["year"], ts["month"])
+
+    name = cache._cache_key(aoi, "s1")
+    (cache.cache_dir / f"{name}.npy").write_bytes(b"corrupt" * 10)
+
+    fresh = SceneCache(tree, meta, [0, 1], [2, 1, 0, 3], dtype="float32")
+    after = fresh.load(aoi, "s1", ts["year"], ts["month"])
+    np.testing.assert_array_equal(after, before)
+
+
 def test_cache_build_skips_sampler_ineligible_timestamps(cfg,
                                                          fixture_dataset,
                                                          tmp_path):
