@@ -157,6 +157,22 @@ def test_jsonl_reinit_closes_previous_run(tmp_path):
                       .splitlines()[-1])["b"] == 2
 
 
+def test_every_python_file_compiles():
+    """Byte-compile every .py in the repo (tools/ probes and offline
+    scripts are not imported by the suite — this catches syntax rot from
+    partial edits without executing anything)."""
+    import py_compile
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    files = [p for d in ("multimodal_siamese_cd_tpu", "tools", "tests", ".")
+             for p in (repo / d).glob("*.py")] + \
+            list((repo / "multimodal_siamese_cd_tpu").glob("*/*.py"))
+    assert len(files) > 60
+    for f in files:
+        py_compile.compile(str(f), doraise=True)
+
+
 def test_process_shard_single_host():
     sl = process_shard(10)
     assert sl == slice(0, 10)
