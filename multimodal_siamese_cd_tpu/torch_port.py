@@ -1,4 +1,5 @@
-"""Import PyTorch reference checkpoints into this framework.
+"""Convert checkpoints between this framework and the PyTorch reference,
+in both directions (import: torch -> flax; export: flax -> torch).
 
 The reference (utils/networks.py) trains torch modules whose ``state_dict``
 keys follow a fixed grammar — ``inc.conv.conv.0.weight``,
@@ -172,6 +173,104 @@ def load_reference_checkpoint(path, variables):
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
     state_dict = ckpt["network"] if "network" in ckpt else ckpt
     return port_reference_state_dict(state_dict, variables), ckpt.get("step")
+
+
+# --------------------------------------------------------------------------
+# Reverse direction: flax variables -> reference torch state_dict
+# --------------------------------------------------------------------------
+
+_DOUBLECONV_IDX = {unit: idx for idx, unit in _DOUBLECONV_UNITS.items()}
+
+
+def _torch_prefix(path) -> str:
+    """Inverse of :func:`_translate_key`'s grammar: a flax module path (the
+    variable path minus collection and leaf name) -> the reference torch
+    state_dict key prefix for that module (reference networks.py:313-461)."""
+    top, rest = path[0], tuple(path[1:])
+    if rest == ("conv",):                                   # OutConv
+        return f"{top}.conv"
+    if len(rest) == 2 and rest[0] == "conv" and rest[1] in _DOUBLECONV_IDX:
+        return f"{top}.conv.conv.{_DOUBLECONV_IDX[rest[1]]}"  # InConv
+    if len(rest) == 2 and rest[1] == "up":                  # Decoder upsample
+        return f"{top}.up_seq.{rest[0]}.up"
+    if (len(rest) == 3 and rest[1] == "conv"
+            and rest[2] in _DOUBLECONV_IDX):
+        if rest[0].startswith("down"):                      # Encoder stage
+            return (f"{top}.down_seq.{rest[0]}.mpconv.1.conv."
+                    f"{_DOUBLECONV_IDX[rest[2]]}")
+        if rest[0].startswith("up"):                        # Decoder stage
+            return (f"{top}.up_seq.{rest[0]}.conv.conv."
+                    f"{_DOUBLECONV_IDX[rest[2]]}")
+    raise KeyError(f"no reference state_dict grammar for flax module "
+                   f"path {path!r}")
+
+
+def export_reference_state_dict(variables, step: int = 0):
+    """Inverse of :func:`port_reference_state_dict`: turn flax
+    ``{'params', 'batch_stats'}`` variables into a reference-grammar torch
+    state_dict (numpy float32 arrays, keys WITHOUT the DataParallel
+    ``module.`` prefix — callers writing a reference ``.pt`` add it).
+
+    Layout conversions are the exact inverses of the import direction
+    (module docstring); ``num_batches_tracked`` — which flax does not keep —
+    is synthesized as ``step`` for every BN module (torch only consults it
+    under ``momentum=None``, which the reference never uses). Round-tripping
+    through :func:`port_reference_state_dict` reproduces the input
+    bit-exactly (tests/test_torch_parity.py)."""
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    out = {}
+    bn_prefixes = set()
+    for path, leaf in flat:
+        keys = tuple(getattr(p, "key", getattr(p, "name", None)) for p in path)
+        coll, mod_path, name = keys[0], keys[1:-1], keys[-1]
+        prefix = _torch_prefix(mod_path)
+        arr = np.asarray(jax.device_get(leaf), dtype=np.float32)
+        if mod_path[-1].startswith("bn"):
+            bn_prefixes.add(prefix)
+            if coll == "batch_stats":
+                torch_leaf = {"mean": "running_mean", "var": "running_var"}[name]
+            else:
+                torch_leaf = {"scale": "weight", "bias": "bias"}[name]
+            out[f"{prefix}.{torch_leaf}"] = arr
+        elif name == "kernel":
+            if mod_path[-1] == "up":  # ConvTranspose2d: unflip, then permute
+                arr = arr[::-1, ::-1].transpose(2, 3, 0, 1)
+            else:                     # Conv2d
+                arr = arr.transpose(3, 2, 0, 1)
+            out[f"{prefix}.weight"] = np.ascontiguousarray(arr)
+        else:
+            out[f"{prefix}.bias"] = arr
+    for prefix in bn_prefixes:
+        out[f"{prefix}.num_batches_tracked"] = np.asarray(step, dtype=np.int64)
+    return out
+
+
+def save_reference_checkpoint(variables, step, path, lr: float,
+                              weight_decay: float = 0.01) -> None:
+    """Write a checkpoint file the reference's ``load_checkpoint``
+    (networks.py:41-56) loads as-is: torch-serialized
+    ``{'step', 'network': DataParallel state_dict, 'optimizer': ...}``.
+
+    Keys carry the ``module.`` prefix (the reference wraps every factory
+    model in ``nn.DataParallel``, networks.py:27). The optimizer entry is a
+    FRESH AdamW state_dict with the correct group structure — moments are
+    torch-layout and are not exported, so fine-tuning on the reference side
+    restarts AdamW, mirroring the import direction's documented contract.
+    Requires torch at call time only."""
+    import torch
+
+    state_dict = export_reference_state_dict(variables, step=int(step))
+    # copy=True: device_get arrays can be read-only views, which torch
+    # tensors reject (non-writable warning / undefined behavior on write)
+    network = {f"module.{k}": torch.from_numpy(np.array(v, copy=True))
+               for k, v in state_dict.items()}
+    n_params = sum(1 for k in state_dict if k.endswith((".weight", ".bias")))
+    # a throwaway AdamW over n_params dummy leaves yields a loadable fresh
+    # state_dict: load_state_dict only checks group/param-count structure
+    dummies = [torch.nn.Parameter(torch.zeros(1)) for _ in range(n_params)]
+    opt = torch.optim.AdamW(dummies, lr=lr, weight_decay=weight_decay)
+    torch.save({"step": int(step), "network": network,
+                "optimizer": opt.state_dict()}, path)
 
 
 # --------------------------------------------------------------------------

@@ -740,3 +740,170 @@ def test_import_torch_checkpoint_cli(ref_networks, tmp_path, monkeypatch):
     np.testing.assert_allclose(j_out[..., 0],
                                torch.sigmoid(t_out).numpy()[:, 0],
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: flax -> torch export (torch_port.export_reference_
+# state_dict / save_reference_checkpoint, tools/export_torch_checkpoint.py)
+# ---------------------------------------------------------------------------
+
+def _randomize_variables(variables, seed):
+    """Random params AND BN running stats (default 1/0 scale/bias and 0/1
+    stats would mask export-direction leaf mix-ups, same rationale as
+    _randomize)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+
+    def rnd(path, leaf):
+        name = getattr(path[-1], "key", None)
+        lo, hi = (0.5, 1.5) if name == "var" else (-0.5, 0.5)
+        return jnp.asarray(rng.uniform(lo, hi, leaf.shape).astype(np.float32))
+
+    return jax.tree_util.tree_map_with_path(rnd, variables)
+
+
+def _torch_cls(ref_networks, model_type):
+    return {
+        "unet": ref_networks.UNet,
+        "dualstreamunet": ref_networks.DualStreamUNet,
+        "siameseunet": ref_networks.SiameseUNet,
+        "dtsiameseunet": ref_networks.DualTaskSiameseUNet,
+        "whatevernet": ref_networks.WhateverNet,
+        "whatevernet2": ref_networks.WhateverNet2,
+    }[model_type]
+
+
+@pytest.mark.parametrize("model_type", TYPES)
+def test_export_port_roundtrip(model_type):
+    """flax -> reference state_dict -> flax is bit-exact for every factory
+    type (no torch needed: both directions are numpy layout transforms)."""
+    import jax
+    from multimodal_siamese_cd_tpu import torch_port
+    from multimodal_siamese_cd_tpu.models import create_network, init_variables
+
+    cfg = _cfg(model_type)
+    model = create_network(cfg)
+    variables = _randomize_variables(
+        init_variables(model, cfg, jax.random.PRNGKey(0)), seed=13)
+    sd = torch_port.export_reference_state_dict(variables, step=42)
+    assert any(k.endswith("num_batches_tracked") for k in sd)
+    back = torch_port.port_reference_state_dict(sd, variables)
+    flat_a = jax.tree_util.tree_leaves(variables)
+    flat_b = jax.tree_util.tree_leaves(back)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("model_type", TYPES)
+def test_export_strict_torch_load_forward_parity(ref_networks, model_type):
+    """An exported state_dict loads into the reference's own model class
+    under strict=True (exact key set, exact shapes) and reproduces the flax
+    eval forward."""
+    import torch
+
+    import jax
+    from multimodal_siamese_cd_tpu import torch_port
+    from multimodal_siamese_cd_tpu.models import create_network, init_variables
+
+    cfg = _cfg(model_type)
+    model = create_network(cfg)
+    variables = _randomize_variables(
+        init_variables(model, cfg, jax.random.PRNGKey(0)), seed=21)
+    sd = torch_port.export_reference_state_dict(variables, step=7)
+
+    tnet = _torch_cls(ref_networks, model_type)(cfg)
+    tnet.load_state_dict(
+        {k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()},
+        strict=True)
+    tnet.eval()
+
+    rng = np.random.default_rng(3)
+    n_ch = cfg.MODEL.IN_CHANNELS
+    x1 = rng.uniform(0, 1, (2, 32, 32, n_ch)).astype(np.float32)
+    x2 = rng.uniform(0, 1, (2, 32, 32, n_ch)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tnet(torch.from_numpy(x1.transpose(0, 3, 1, 2)),
+                     torch.from_numpy(x2.transpose(0, 3, 1, 2)))
+    j_out = model.apply(variables, x1, x2, train=False)
+
+    t_outs = list(t_out) if isinstance(t_out, (tuple, list)) else [t_out]
+    j_outs = list(j_out) if isinstance(j_out, (tuple, list)) else [j_out]
+    assert len(t_outs) == len(j_outs)
+    for t, j in zip(t_outs, j_outs):
+        np.testing.assert_allclose(np.asarray(j),
+                                   t.numpy().transpose(0, 2, 3, 1),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_export_torch_checkpoint_cli(ref_networks, tmp_path, monkeypatch):
+    """End-to-end export: a native checkpoint run through
+    tools/export_torch_checkpoint.py must load through the reference's OWN
+    load procedure (networks.py:41-56: DataParallel strict load + AdamW
+    load_state_dict) with matching eval forwards, and the restored AdamW
+    must be steppable."""
+    import runpy
+
+    import torch
+
+    import jax
+    from multimodal_siamese_cd_tpu import checkpoints, train_lib
+    from multimodal_siamese_cd_tpu.data.synthetic import generate_fixture_dataset
+
+    out_dir = tmp_path / "runs"
+    out_dir.mkdir()
+    data_dir = tmp_path / "data"
+    generate_fixture_dataset(data_dir, seed=3)
+
+    cfg = _cfg("siameseunet")
+    cfg.NAME = "siamese"
+    cfg.PATHS.OUTPUT = str(out_dir)
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(1))
+    variables = _randomize_variables(
+        {"params": state.params, "batch_stats": state.batch_stats}, seed=8)
+    state = state.replace(params=variables["params"],
+                          batch_stats=variables["batch_stats"])
+    checkpoints.save_checkpoint(state, 7, 123, cfg)
+
+    dst = tmp_path / "siamese_checkpoint7.pt"
+    argv = ["export_torch_checkpoint.py", "-c", "siamese", "-p", "proj",
+            "-o", str(out_dir), "-d", str(data_dir),
+            "--epoch", "7", "--dst", str(dst),
+            "MODEL.TOPOLOGY", "[16,32]", "MODEL.IN_CHANNELS", "6",
+            "TRAINER.PRECISION", "fp32", "MODEL.PACKED_FULLRES", "False"]
+    monkeypatch.setattr(sys, "argv", argv)
+    try:
+        runpy.run_path("tools/export_torch_checkpoint.py",
+                       run_name="__main__")
+    except SystemExit as e:
+        assert not e.code
+
+    # the reference's load procedure, verbatim semantics
+    ckpt = torch.load(dst, map_location="cpu", weights_only=True)
+    assert ckpt["step"] == 123
+    tnet = torch.nn.DataParallel(ref_networks.SiameseUNet(cfg))
+    tnet.load_state_dict(ckpt["network"], strict=True)
+    opt = torch.optim.AdamW(tnet.parameters(), lr=cfg.TRAINER.LR,
+                            weight_decay=0.01)
+    opt.load_state_dict(ckpt["optimizer"])
+    tnet.eval()
+
+    rng = np.random.default_rng(5)
+    x1 = rng.uniform(0, 1, (1, 32, 32, 6)).astype(np.float32)
+    x2 = rng.uniform(0, 1, (1, 32, 32, 6)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tnet(torch.from_numpy(x1.transpose(0, 3, 1, 2)),
+                     torch.from_numpy(x2.transpose(0, 3, 1, 2)))
+    j_out = np.asarray(train_lib.eval_forward(
+        model, state.params, state.batch_stats, x1, x2))
+    np.testing.assert_allclose(j_out[..., 0],
+                               torch.sigmoid(t_out).numpy()[:, 0],
+                               atol=1e-5)
+
+    # restored optimizer is steppable (group structure matched the model)
+    out = tnet(torch.from_numpy(x1.transpose(0, 3, 1, 2)),
+               torch.from_numpy(x2.transpose(0, 3, 1, 2)))
+    out.sum().backward()
+    opt.step()
