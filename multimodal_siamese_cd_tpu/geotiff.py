@@ -388,7 +388,16 @@ def _undo_fp_predictor(raw: bytes, rows: int, n_vals_row: int,
     stored as byte PLANES ordered MSB..LSB with byte-wise horizontal
     differencing at the sample stride (libtiff tif_predict.c fpAcc
     semantics — pinned against libtiff-written f32/f64 files). Returns
-    little-endian sample bytes for the first ``rows`` rows."""
+    little-endian sample bytes for the first ``rows`` rows.
+
+    The plane order is MSB-first REGARDLESS of the file's II/MM byte mark:
+    libtiff's decoder never byte-swaps after fpAcc, so this function's
+    output is always interpreted little-endian. Big-endian fp-predictor
+    files written by libtiff itself are unrecoverable-by-construction (its
+    ENCODER swabs samples before the plane split, so even libtiff reads
+    its own MM+predictor-3 output back as garbage — differential-fuzz
+    find, tools/difffuzz_geotiff.py); this reader deliberately matches
+    libtiff's READER bit-for-bit, which is what GDAL consumers see."""
     cc = n_vals_row * itemsize
     a = np.frombuffer(raw, np.uint8, count=rows * cc).reshape(rows, cc)
     acc = np.cumsum(a.reshape(rows, cc // stride, stride), axis=1,

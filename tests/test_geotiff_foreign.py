@@ -591,3 +591,24 @@ def test_truncated_deflate_stream_raises(tmp_path):
     f.write_bytes(bytes(raw))
     with pytest.raises(ValueError):
         geotiff.imread(f)
+
+
+def test_differential_fuzz_vs_libtiff(tmp_path):
+    """Bounded slice of the randomized differential campaign against
+    libtiff.so.6 (tools/difffuzz_geotiff.py): libtiff writes random points
+    of the layout lattice (dtype x compression x predictor x planar x
+    strips/tiles x endianness x classic/BigTIFF) and imread must bit-match
+    libtiff's own read-back; our writer's files must scanline-read back
+    exactly. The full campaign runs thousands of cases offline; this pins
+    the harness + a deterministic sample in the suite."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    difffuzz = pytest.importorskip("difffuzz_geotiff")
+    try:
+        difffuzz.LibTiff()
+    except OSError:
+        pytest.skip("libtiff.so.6 not available")
+    failures = difffuzz.run_campaign(40, seed=1234, keep_dir=tmp_path,
+                                     verbose=False)
+    assert failures == []
