@@ -593,14 +593,18 @@ def test_truncated_deflate_stream_raises(tmp_path):
         geotiff.imread(f)
 
 
-def test_differential_fuzz_vs_libtiff(tmp_path):
+@pytest.mark.parametrize("use_native", [True, False],
+                         ids=["c-kernels", "pure-python"])
+def test_differential_fuzz_vs_libtiff(tmp_path, use_native):
     """Bounded slice of the randomized differential campaign against
     libtiff.so.6 (tools/difffuzz_geotiff.py): libtiff writes random points
     of the layout lattice (dtype x compression x predictor x planar x
     strips/tiles x endianness x classic/BigTIFF) and imread must bit-match
     libtiff's own read-back; our writer's files must scanline-read back
-    exactly. The full campaign runs thousands of cases offline; this pins
-    the harness + a deterministic sample in the suite."""
+    exactly. Runs once through the C decode kernels and once with them
+    disabled (the pure-Python LZW/PackBits fallbacks are an independent
+    code path). The full campaign runs thousands of cases offline; this
+    pins the harness + a deterministic sample in the suite."""
     import sys
     from pathlib import Path
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
@@ -610,5 +614,5 @@ def test_differential_fuzz_vs_libtiff(tmp_path):
     except OSError:
         pytest.skip("libtiff.so.6 not available")
     failures = difffuzz.run_campaign(40, seed=1234, keep_dir=tmp_path,
-                                     verbose=False)
+                                     verbose=False, use_native=use_native)
     assert failures == []

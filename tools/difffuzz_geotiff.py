@@ -266,35 +266,53 @@ def run_case_b(lt: LibTiff, rng: np.random.Generator, tmp: Path) -> dict:
 
 
 def run_campaign(n: int, seed: int, keep_dir: Path | None = None,
-                 verbose: bool = True) -> list[dict]:
-    """Run ``n`` random cases; returns the list of failure records."""
+                 verbose: bool = True, use_native: bool = True) -> list[dict]:
+    """Run ``n`` random cases; returns the list of failure records.
+
+    ``use_native=False`` disables the C decode kernels for the campaign so
+    the pure-Python LZW/PackBits fallbacks face the same foreign bytes —
+    they are an independent code path, not a wrapper over the C one."""
     lt = LibTiff()
     rng = np.random.default_rng(seed)
     failures = []
-    with tempfile.TemporaryDirectory() as td:
-        tmp = Path(td)
-        for i in range(n):
-            case = run_case_b if rng.random() < 0.3 else run_case_a
-            try:
-                res = case(lt, rng, tmp)
-            except Exception as e:  # decoder/writer crash == failure too
-                name = "a.tif" if case is run_case_a else "b.tif"
-                res = dict(direction=case.__name__[-1].upper(),
-                           spec="exception", ok=False,
-                           error=f"{type(e).__name__}: {e}",
-                           file=tmp / name)
-            if not res["ok"]:
-                rec = {k: v for k, v in res.items() if k != "file"}
-                rec["case"] = i
-                if keep_dir is not None:
-                    keep_dir.mkdir(parents=True, exist_ok=True)
-                    kept = keep_dir / f"fail_{seed}_{i}.tif"
-                    if Path(res["file"]).exists():
-                        shutil.copy(res["file"], kept)
-                        rec["kept"] = str(kept)
-                failures.append(rec)
-                if verbose:
-                    print(f"FAIL case {i}: {json.dumps(rec, default=str)}")
+    saved_native = geotiff._fastcodecs
+    if not use_native:
+        geotiff._fastcodecs = None
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            tmp = Path(td)
+            failures.extend(_run_cases(lt, rng, tmp, n, seed, keep_dir,
+                                       verbose))
+    finally:
+        geotiff._fastcodecs = saved_native
+    return failures
+
+
+def _run_cases(lt: LibTiff, rng: np.random.Generator, tmp: Path, n: int,
+               seed: int, keep_dir: Path | None, verbose: bool) -> list[dict]:
+    failures = []
+    for i in range(n):
+        case = run_case_b if rng.random() < 0.3 else run_case_a
+        try:
+            res = case(lt, rng, tmp)
+        except Exception as e:  # decoder/writer crash == failure too
+            name = "a.tif" if case is run_case_a else "b.tif"
+            res = dict(direction=case.__name__[-1].upper(),
+                       spec="exception", ok=False,
+                       error=f"{type(e).__name__}: {e}",
+                       file=tmp / name)
+        if not res["ok"]:
+            rec = {k: v for k, v in res.items() if k != "file"}
+            rec["case"] = i
+            if keep_dir is not None:
+                keep_dir.mkdir(parents=True, exist_ok=True)
+                kept = keep_dir / f"fail_{seed}_{i}.tif"
+                if Path(res["file"]).exists():
+                    shutil.copy(res["file"], kept)
+                    rec["kept"] = str(kept)
+            failures.append(rec)
+            if verbose:
+                print(f"FAIL case {i}: {json.dumps(rec, default=str)}")
     return failures
 
 
@@ -303,9 +321,14 @@ def main() -> int:
     p.add_argument("--n", type=int, default=300)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--keep-dir", type=Path, default=Path("/tmp/difffuzz_geotiff"))
+    p.add_argument("--pure-python", action="store_true",
+                   help="disable the C decode kernels: fuzz the pure-Python "
+                        "LZW/PackBits fallbacks (an independent code path)")
     args = p.parse_args()
-    failures = run_campaign(args.n, args.seed, args.keep_dir)
+    failures = run_campaign(args.n, args.seed, args.keep_dir,
+                            use_native=not args.pure_python)
     print(json.dumps({"cases": args.n, "seed": args.seed,
+                      "native": not args.pure_python,
                       "failures": len(failures)}))
     return 1 if failures else 0
 
