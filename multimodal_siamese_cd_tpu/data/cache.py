@@ -182,11 +182,21 @@ class SceneCache:
             # writes from this code) is deleted and rebuilt once instead of
             # surfacing an opaque np.load/json error for data we can remake
             with _lock_for(name):
-                npy.unlink(missing_ok=True)
-                meta_file.unlink(missing_ok=True)
-                self._build(aoi_id, modality, npy, meta_file)
-            arr = np.load(npy, mmap_mode="r")
-            meta = json.loads(meta_file.read_text())
+                try:
+                    # double-check under the lock (mirrors the build path):
+                    # a concurrent healer may have rebuilt the entry while
+                    # this thread waited — unlike the build path, heal
+                    # unlinks the CURRENT generation, so skipping this
+                    # re-read would destroy a fresh rebuild under the other
+                    # thread's feet
+                    arr = np.load(npy, mmap_mode="r")
+                    meta = json.loads(meta_file.read_text())
+                except Exception:
+                    npy.unlink(missing_ok=True)
+                    meta_file.unlink(missing_ok=True)
+                    self._build(aoi_id, modality, npy, meta_file)
+                    arr = np.load(npy, mmap_mode="r")
+                    meta = json.loads(meta_file.read_text())
         index = {tuple(t): i for i, t in enumerate(meta["timestamps"])}
         self._open[key] = (arr, index)
         return self._open[key]

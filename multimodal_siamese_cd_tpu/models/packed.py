@@ -58,13 +58,58 @@ shapes are always even).
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
 
 Dtype = Any
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _pair_conv_f32_acc(a: jnp.ndarray, wa: jnp.ndarray, b: jnp.ndarray,
+                       wb: jnp.ndarray, padding) -> jnp.ndarray:
+    """conv(a, wa) + conv(b, wb) — the weight-split logical concat — with
+    the two partial outputs accumulated in f32 and rounded to the compute
+    dtype ONCE, so the pair path adds no extra rounding over the unpacked
+    concat conv (its contract is 'exact, fp reassociation only').
+
+    jax 0.9 cannot differentiate a conv whose ``preferred_element_type``
+    differs from its operand dtype (the transpose rules reject the mixed
+    f32 cotangent at trace time), so the exact forward carries a custom
+    VJP: gradients are the standard compute-dtype conv backward — exactly
+    what the plain bf16 pair produced before the f32 accumulate."""
+    ya = lax.conv_general_dilated(a, wa, (1, 1), padding,
+                                  dimension_numbers=_DN,
+                                  preferred_element_type=jnp.float32)
+    yb = lax.conv_general_dilated(b, wb, (1, 1), padding,
+                                  dimension_numbers=_DN,
+                                  preferred_element_type=jnp.float32)
+    return (ya + yb).astype(a.dtype)
+
+
+def _pair_conv_fwd(a, wa, b, wb, padding):
+    return _pair_conv_f32_acc(a, wa, b, wb, padding), (a, wa, b, wb)
+
+
+def _pair_conv_bwd(padding, res, g):
+    a, wa, b, wb = res
+
+    def compute_dtype_pair(a, wa, b, wb):
+        return (lax.conv_general_dilated(a, wa, (1, 1), padding,
+                                         dimension_numbers=_DN)
+                + lax.conv_general_dilated(b, wb, (1, 1), padding,
+                                           dimension_numbers=_DN))
+
+    return jax.vjp(compute_dtype_pair, a, wa, b, wb)[1](g)
+
+
+_pair_conv_f32_acc.defvjp(_pair_conv_fwd, _pair_conv_bwd)
 
 
 def pack(x: jnp.ndarray) -> jnp.ndarray:
@@ -183,15 +228,8 @@ class StaggerConv1(nn.Module):
         else:
             wa = stagger_conv1_weights(kernel[:, :, :ca]).astype(self.dtype)
             wb = stagger_conv1_weights(kernel[:, :, ca:]).astype(self.dtype)
-            y = (lax.conv_general_dilated(
-                     a.astype(self.dtype), wa, (1, 1), pad,
-                     dimension_numbers=dn,
-                     preferred_element_type=jnp.float32)
-                 + lax.conv_general_dilated(
-                     b.astype(self.dtype), wb, (1, 1), pad,
-                     dimension_numbers=dn,
-                     preferred_element_type=jnp.float32)
-                 ).astype(self.dtype)
+            y = _pair_conv_f32_acc(a.astype(self.dtype), wa,
+                                   b.astype(self.dtype), wb, pad)
         return zero_spurious(y + jnp.tile(bias, 2).astype(self.dtype))
 
 
@@ -351,17 +389,12 @@ class PackedConv1x1(nn.Module):
         else:
             # weight-split logical concat: accumulate the partial outputs
             # in f32 and round once, matching the unpacked concat conv's
-            # single rounding (see StaggerConv1)
-            y = (lax.conv_general_dilated(
-                     a.astype(self.dtype),
-                     block_diag(kernel[:, :, :ca]).astype(self.dtype),
-                     (1, 1), "SAME", dimension_numbers=dn,
-                     preferred_element_type=jnp.float32)
-                 + lax.conv_general_dilated(
-                     b.astype(self.dtype),
-                     block_diag(kernel[:, :, ca:]).astype(self.dtype),
-                     (1, 1), "SAME", dimension_numbers=dn,
-                     preferred_element_type=jnp.float32)).astype(self.dtype)
+            # single rounding (see StaggerConv1 / _pair_conv_f32_acc)
+            y = _pair_conv_f32_acc(
+                a.astype(self.dtype),
+                block_diag(kernel[:, :, :ca]).astype(self.dtype),
+                b.astype(self.dtype),
+                block_diag(kernel[:, :, ca:]).astype(self.dtype), "SAME")
         return y + jnp.tile(bias, 2).astype(self.dtype)
 
 

@@ -394,6 +394,85 @@ def test_cache_self_heals_corrupt_entry(cfg, fixture_dataset, tmp_path):
     np.testing.assert_array_equal(after, before)
 
 
+def test_cache_concurrent_heal_rebuilds_once(cfg, fixture_dataset, tmp_path,
+                                             monkeypatch):
+    """Two threads hitting the same corrupt entry: the second healer must
+    double-check under the lock instead of unlinking the first healer's
+    fresh rebuild (the build path's benign race is destructive here — a
+    skipped re-read lets T2 delete the file between T1's rebuild and T1's
+    post-heal np.load)."""
+    import shutil
+    import threading
+
+    from multimodal_siamese_cd_tpu.data import cache as cache_mod
+
+    tree = tmp_path / "ds"
+    shutil.copytree(fixture_dataset, tree)
+    meta = geofiles.load_json(tree / "metadata.json")
+    aoi = TRAIN_AOIS[0]
+    ts = meta[aoi][0]
+    seed_cache = SceneCache(tree, meta, [0, 1], [2, 1, 0, 3], dtype="float32")
+    before = seed_cache.load(aoi, "s1", ts["year"], ts["month"])
+    name = seed_cache._cache_key(aoi, "s1")
+    (seed_cache.cache_dir / f"{name}.npy").write_bytes(b"corrupt" * 10)
+
+    builds = []
+    state_lock = threading.Lock()
+    orig_build = SceneCache._build
+
+    def counting_build(self, *a, **kw):
+        with state_lock:
+            builds.append(threading.get_ident())
+        return orig_build(self, *a, **kw)
+
+    # The destructive window is only open while BOTH threads have failed
+    # np.load on the (still-present) corrupt file but neither holds the
+    # entry lock yet — naturally microseconds wide, so pin the schedule:
+    # the first np.load failure of each thread blocks until both threads
+    # have failed, THEN they race to the lock. The loser's only correct
+    # move is the under-lock re-read; the pre-fix code unlinked the
+    # winner's fresh rebuild and built again.
+    failed, both_failed = set(), threading.Event()
+    orig_npload = np.load
+
+    def synced_load(*a, **kw):
+        try:
+            return orig_npload(*a, **kw)
+        except Exception:
+            tid = threading.get_ident()
+            with state_lock:
+                if tid not in failed:
+                    failed.add(tid)
+                    if len(failed) >= 2:
+                        both_failed.set()
+            both_failed.wait(timeout=30)
+            raise
+
+    monkeypatch.setattr(SceneCache, "_build", counting_build)
+    monkeypatch.setattr(cache_mod.np, "load", synced_load)
+    # fresh lock table so both threads contend on THIS entry's lock
+    monkeypatch.setattr(cache_mod, "_locks", {})
+
+    results, errors = [], []
+
+    def heal():
+        c = SceneCache(tree, meta, [0, 1], [2, 1, 0, 3], dtype="float32")
+        try:
+            results.append(c.load(aoi, "s1", ts["year"], ts["month"]))
+        except Exception as e:  # pragma: no cover - the regression itself
+            errors.append(e)
+
+    threads = [threading.Thread(target=heal) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert errors == []
+    assert len(builds) == 1, "second healer must reuse the fresh rebuild"
+    for got in results:
+        np.testing.assert_array_equal(got, before)
+
+
 def test_cache_build_skips_sampler_ineligible_timestamps(cfg,
                                                          fixture_dataset,
                                                          tmp_path):

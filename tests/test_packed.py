@@ -182,3 +182,68 @@ def test_packed_train_step_gradients_match():
     # fp32 reassociation through the deep chain + the PowerJaccard ratio
     # leaves ~0.2% relative gradient noise; the bar catches real math bugs.
     assert (num / max(den, 1e-30)) ** 0.5 < 5e-3  # relative L2 over all grads
+
+
+def test_packed_train_step_gradients_bf16():
+    """Gradients through the packed path in the PRODUCTION bf16 precision.
+
+    Regression: the pair-conv f32 accumulate (preferred_element_type) is
+    not differentiable in jax 0.9 when the operand dtype differs — every
+    bf16 packed train step raised a trace-time TypeError while the fp32
+    grad test above stayed green (fp32 operands never hit the mixed-dtype
+    transpose). The custom VJP must (a) trace and (b) leave the packed
+    path's bf16 gradients no further from fp32 truth than the unpacked
+    path's own bf16 gradients are.
+
+    Why the bar is RELATIVE to the unpacked path's noise: at this depth
+    bf16 reassociation alone moves gradients ~0.24 relative L2 from fp32
+    truth (measured: unpacked-bf16 vs unpacked-fp32 0.238, packed-bf16 vs
+    fp32 0.183 — the f32 pair accumulate makes packed slightly MORE
+    accurate), so any absolute packed-vs-unpacked bf16 bar just measures
+    noise."""
+    from multimodal_siamese_cd_tpu.losses import get_criterion
+
+    rng = np.random.default_rng(7)
+    x1 = jnp.asarray(rng.uniform(0, 1, (4, 32, 32, 6)), jnp.float32)
+    x2 = jnp.asarray(rng.uniform(0, 1, (4, 32, 32, 6)), jnp.float32)
+    y = jnp.asarray((rng.uniform(size=(4, 32, 32, 1)) > 0.8), jnp.float32)
+    criterion = get_criterion("PowerJaccardLoss")
+
+    losses, grads = {}, {}
+    for packed in (False, True):
+        for precision in (("fp32",) if not packed else ()) + ("bf16",):
+            cfg = _cfg("siameseunet", packed)
+            cfg.TRAINER.PRECISION = precision
+            model = create_network(cfg)
+            variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+
+            def loss_fn(params):
+                out, _ = model.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]},
+                    x1, x2, train=True, mutable=["batch_stats"])
+                return criterion(out, y)
+
+            l, g = jax.value_and_grad(loss_fn)(variables["params"])
+            losses[(packed, precision)] = float(l)
+            grads[(packed, precision)] = g
+
+    def rel(ga, gb):
+        num = sum(float(jnp.sum((a.astype(jnp.float32)
+                                 - b.astype(jnp.float32)) ** 2))
+                  for a, b in zip(jax.tree_util.tree_leaves(ga),
+                                  jax.tree_util.tree_leaves(gb)))
+        den = sum(float(jnp.sum(a.astype(jnp.float32) ** 2))
+                  for a in jax.tree_util.tree_leaves(ga))
+        return (num / max(den, 1e-30)) ** 0.5
+
+    assert losses[(False, "bf16")] == pytest.approx(
+        losses[(True, "bf16")], rel=0.02)
+    truth = grads[(False, "fp32")]
+    noise_floor = rel(truth, grads[(False, "bf16")])
+    packed_err = rel(truth, grads[(True, "bf16")])
+    # crash above = the trace regression; here: packed bf16 must be at
+    # least as close to fp32 truth as plain bf16 is (1.25x margin for
+    # seed luck), and sane in absolute terms
+    assert packed_err < 1.25 * noise_floor, (packed_err, noise_floor)
+    assert packed_err < 0.5, packed_err

@@ -293,10 +293,13 @@ def _run_cases(lt: LibTiff, rng: np.random.Generator, tmp: Path, n: int,
     failures = []
     for i in range(n):
         case = run_case_b if rng.random() < 0.3 else run_case_a
+        name = "a.tif" if case is run_case_a else "b.tif"
+        # a case that raises before (re)writing its file must not point the
+        # failure record at the PREVIOUS case's leftover bytes
+        (tmp / name).unlink(missing_ok=True)
         try:
             res = case(lt, rng, tmp)
         except Exception as e:  # decoder/writer crash == failure too
-            name = "a.tif" if case is run_case_a else "b.tif"
             res = dict(direction=case.__name__[-1].upper(),
                        spec="exception", ok=False,
                        error=f"{type(e).__name__}: {e}",
