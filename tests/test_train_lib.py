@@ -95,6 +95,32 @@ def test_semisupervised_fallback_all_labeled(cfg):
     assert float(m2["loss"]) == pytest.approx(float(m2["cons_loss"]), rel=1e-6)
 
 
+@pytest.mark.parametrize("regime,model_type",
+                         [("supervised", "siameseunet"),
+                          ("dualtask", "dtsiameseunet"),
+                          ("semisupervised", "whatevernet")])
+def test_production_defaults_step(cfg, regime, model_type):
+    """Every regime's train step at the PRODUCTION factory defaults —
+    bf16 precision + PACKED_FULLRES — must trace and produce finite,
+    decreasing loss.
+
+    Regression class: the suite's trainer tests run fp32 for tight numeric
+    bars, so a bf16-only trace failure (e.g. the packed pair-conv
+    preferred_element_type transpose, jax 0.9) passed the entire suite AND
+    the fp32 multichip dryrun while every real bench/training run crashed.
+    This is the smoke layer for dtype-dependent trace regressions."""
+    cfg.MODEL.TYPE = model_type
+    cfg.TRAINER.PRECISION = "bf16"
+    cfg.MODEL.PACKED_FULLRES = True
+    if regime == "dualtask":
+        cfg.DATALOADER.INCLUDE_BUILDING_LABELS = True
+    if regime == "semisupervised":
+        cfg.CONSISTENCY_TRAINER.LOSS_FACTOR = 0.5
+    _, lo, _ = run_steps(cfg, regime, n_steps=8)
+    assert all(np.isfinite(lo)), lo
+    assert lo[-1] < lo[0], lo
+
+
 def test_mesh_step_matches_single_device(cfg):
     """8-way data-parallel step must match the single-device step bitwise-ish
     (same global batch, replicated params, psum'd grads)."""
