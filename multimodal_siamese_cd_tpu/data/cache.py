@@ -183,17 +183,22 @@ class SceneCache:
             # surfacing an opaque np.load/json error for data we can remake
             with _lock_for(name):
                 try:
-                    # double-check under the lock (mirrors the build path):
-                    # a concurrent healer may have rebuilt the entry while
-                    # this thread waited — unlike the build path, heal
-                    # unlinks the CURRENT generation, so skipping this
-                    # re-read would destroy a fresh rebuild under the other
-                    # thread's feet
+                    # double-check under the lock: a concurrent healer may
+                    # have rebuilt the entry while this thread waited, and
+                    # re-reading is much cheaper than a redundant rebuild
                     arr = np.load(npy, mmap_mode="r")
                     meta = json.loads(meta_file.read_text())
                 except Exception:
-                    npy.unlink(missing_ok=True)
-                    meta_file.unlink(missing_ok=True)
+                    # NEVER unlink the current generation: _build writes a
+                    # complete tmp file and atomically os.replace()s it over
+                    # the corrupt one, so a concurrent healer PROCESS (the
+                    # in-process lock table can't see it; loader workers
+                    # share one cache dir) either still sees corrupt bytes
+                    # and deterministically rebuilds the same content, or
+                    # sees a fresh entry — at no instant is the file absent.
+                    # An unlink here opened exactly that window: one
+                    # process's unlink could land between another's replace
+                    # and post-heal np.load, crashing the healing path.
                     self._build(aoi_id, modality, npy, meta_file)
                     arr = np.load(npy, mmap_mode="r")
                     meta = json.loads(meta_file.read_text())

@@ -473,6 +473,47 @@ def test_cache_concurrent_heal_rebuilds_once(cfg, fixture_dataset, tmp_path,
         np.testing.assert_array_equal(got, before)
 
 
+def test_cache_heal_never_unlinks_current_generation(cfg, fixture_dataset,
+                                                     tmp_path, monkeypatch):
+    """Healing must repair by ATOMIC REPLACE, never by unlink+rebuild.
+
+    The in-process lock table cannot serialize healer PROCESSES (loader
+    pool workers share one cache dir): with an unlink in the heal path,
+    one process's unlink can land between another's os.replace and its
+    post-heal np.load — deleting a fresh rebuild and crashing the path
+    whose purpose is transparent healing. Non-destructiveness + _build's
+    atomic replace make heal safe under any process interleaving."""
+    import shutil
+
+    from multimodal_siamese_cd_tpu.data import cache as cache_mod
+
+    tree = tmp_path / "ds"
+    shutil.copytree(fixture_dataset, tree)
+    meta = geofiles.load_json(tree / "metadata.json")
+    aoi = TRAIN_AOIS[0]
+    ts = meta[aoi][0]
+    seed_cache = SceneCache(tree, meta, [0, 1], [2, 1, 0, 3], dtype="float32")
+    before = seed_cache.load(aoi, "s1", ts["year"], ts["month"])
+    name = seed_cache._cache_key(aoi, "s1")
+    entry_names = {f"{name}.npy", f"{name}.json"}
+    (seed_cache.cache_dir / f"{name}.npy").write_bytes(b"corrupt" * 10)
+
+    unlinked = []
+    orig_unlink = cache_mod.Path.unlink
+
+    def spying_unlink(self, *a, **kw):
+        unlinked.append(self.name)
+        return orig_unlink(self, *a, **kw)
+
+    monkeypatch.setattr(cache_mod.Path, "unlink", spying_unlink)
+    healer = SceneCache(tree, meta, [0, 1], [2, 1, 0, 3], dtype="float32")
+    got = healer.load(aoi, "s1", ts["year"], ts["month"])
+    np.testing.assert_array_equal(got, before)
+    destructive = entry_names & set(unlinked)
+    assert not destructive, (
+        f"heal unlinked the current generation: {destructive}")
+
+
 def test_cache_build_skips_sampler_ineligible_timestamps(cfg,
                                                          fixture_dataset,
                                                          tmp_path):

@@ -21,13 +21,15 @@ require bit-exact decode:
                                   predictor 2, 3-row strips
 
 Run: ``python tools/gen_libtiff_fixtures.py`` (needs libtiff.so.6; writes
-into tests/data/). Each file is written in a SUBPROCESS — libtiff's
-variadic TIFFSetField via a fixed ctypes signature is fine for one file
-but corrupts its allocator across multiple opens in one process.
+into tests/data/). All files are written in one process — an earlier
+revision claimed multiple opens corrupt libtiff's allocator and forked a
+subprocess per file, but that was measured FALSE (6 sequential writer
+sessions in one process produce byte-identical files to subprocess-per-
+file, and tools/difffuzz_geotiff.py runs hundreds of open/write/read
+cycles per process through the same fixed-signature ctypes pattern).
 """
 
 import ctypes
-import subprocess
 import sys
 from pathlib import Path
 
@@ -102,15 +104,10 @@ def _specs():
 
 
 def main() -> int:
-    if len(sys.argv) > 1:  # subprocess mode: write one fixture by index
-        idx = int(sys.argv[1])
-        name, data, kw = _specs()[idx]
+    DATA.mkdir(parents=True, exist_ok=True)
+    for name, data, kw in _specs():
         write_one(DATA / name, data, **kw)
         print(f"wrote {DATA / name}")
-        return 0
-    DATA.mkdir(parents=True, exist_ok=True)
-    for i in range(len(_specs())):
-        subprocess.run([sys.executable, __file__, str(i)], check=True)
     # verify every fixture decodes bit-exactly through the repo codec
     sys.path.insert(0, str(REPO))
     from multimodal_siamese_cd_tpu import geotiff
