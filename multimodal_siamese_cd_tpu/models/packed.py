@@ -71,19 +71,36 @@ Dtype = Any
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _pair_conv_f32_acc(a: jnp.ndarray, wa: jnp.ndarray, b: jnp.ndarray,
-                       wb: jnp.ndarray, padding) -> jnp.ndarray:
+@functools.partial(jax.custom_jvp, nondiff_argnums=(4,))
+def pair_conv_f32_acc(a: jnp.ndarray, wa: jnp.ndarray, b: jnp.ndarray,
+                      wb: jnp.ndarray, padding) -> jnp.ndarray:
     """conv(a, wa) + conv(b, wb) — the weight-split logical concat — with
     the two partial outputs accumulated in f32 and rounded to the compute
     dtype ONCE, so the pair path adds no extra rounding over the unpacked
     concat conv (its contract is 'exact, fp reassociation only').
 
-    jax 0.9 cannot differentiate a conv whose ``preferred_element_type``
-    differs from its operand dtype (the transpose rules reject the mixed
-    f32 cotangent at trace time), so the exact forward carries a custom
-    VJP: gradients are the standard compute-dtype conv backward — exactly
-    what the plain bf16 pair produced before the f32 accumulate."""
+    Why a custom JVP: jax 0.9 cannot differentiate a conv whose
+    ``preferred_element_type`` differs from its operand dtype (the
+    transpose rules reject the mixed f32 cotangent at trace time). The
+    custom tangent map below is built from PLAIN compute-dtype convs, so
+
+      * reverse mode works by linearize + transpose of those plain convs —
+        gradients are the standard compute-dtype conv backward, exactly
+        what the plain bf16 pair produced before the f32 accumulate; and
+      * under vmap (per-replica BN vmaps the whole model over BN groups,
+        train_lib._apply_train) the tangent convs batch through the
+        ordinary FORWARD conv batching rule — group axis folded into the
+        conv batch dim — and the transpose of that merged conv partitions
+        fine under GSPMD.
+
+    The rejected alternative, a custom_vjp whose backward calls jax.vjp of
+    the plain pair, broke under vmap + mesh sharding: vmapping the
+    backward batches its wgrad convs with BOTH operands carrying the
+    group axis, which jax expresses via feature_group_count, and GSPMD
+    then emits an invalid grouped conv when that axis is sharded (XLA
+    INVALID_ARGUMENT: output features not divisible by
+    feature_group_count). custom_jvp never builds those convs: transposition
+    happens AFTER batching, as in plain autodiff."""
     ya = lax.conv_general_dilated(a, wa, (1, 1), padding,
                                   dimension_numbers=_DN,
                                   preferred_element_type=jnp.float32)
@@ -93,23 +110,19 @@ def _pair_conv_f32_acc(a: jnp.ndarray, wa: jnp.ndarray, b: jnp.ndarray,
     return (ya + yb).astype(a.dtype)
 
 
-def _pair_conv_fwd(a, wa, b, wb, padding):
-    return _pair_conv_f32_acc(a, wa, b, wb, padding), (a, wa, b, wb)
+@pair_conv_f32_acc.defjvp
+def _pair_conv_jvp(padding, primals, tangents):
+    a, wa, b, wb = primals
+    da, dwa, db, dwb = tangents
 
+    def conv(x, w):
+        return lax.conv_general_dilated(x, w, (1, 1), padding,
+                                        dimension_numbers=_DN)
 
-def _pair_conv_bwd(padding, res, g):
-    a, wa, b, wb = res
-
-    def compute_dtype_pair(a, wa, b, wb):
-        return (lax.conv_general_dilated(a, wa, (1, 1), padding,
-                                         dimension_numbers=_DN)
-                + lax.conv_general_dilated(b, wb, (1, 1), padding,
-                                           dimension_numbers=_DN))
-
-    return jax.vjp(compute_dtype_pair, a, wa, b, wb)[1](g)
-
-
-_pair_conv_f32_acc.defvjp(_pair_conv_fwd, _pair_conv_bwd)
+    primal_out = pair_conv_f32_acc(a, wa, b, wb, padding)
+    tangent_out = (conv(da, wa) + conv(a, dwa)
+                   + conv(db, wb) + conv(b, dwb))
+    return primal_out, tangent_out
 
 
 def pack(x: jnp.ndarray) -> jnp.ndarray:
@@ -228,8 +241,8 @@ class StaggerConv1(nn.Module):
         else:
             wa = stagger_conv1_weights(kernel[:, :, :ca]).astype(self.dtype)
             wb = stagger_conv1_weights(kernel[:, :, ca:]).astype(self.dtype)
-            y = _pair_conv_f32_acc(a.astype(self.dtype), wa,
-                                   b.astype(self.dtype), wb, pad)
+            y = pair_conv_f32_acc(a.astype(self.dtype), wa,
+                                  b.astype(self.dtype), wb, pad)
         return zero_spurious(y + jnp.tile(bias, 2).astype(self.dtype))
 
 
@@ -389,8 +402,8 @@ class PackedConv1x1(nn.Module):
         else:
             # weight-split logical concat: accumulate the partial outputs
             # in f32 and round once, matching the unpacked concat conv's
-            # single rounding (see StaggerConv1 / _pair_conv_f32_acc)
-            y = _pair_conv_f32_acc(
+            # single rounding (see StaggerConv1 / pair_conv_f32_acc)
+            y = pair_conv_f32_acc(
                 a.astype(self.dtype),
                 block_diag(kernel[:, :, :ca]).astype(self.dtype),
                 b.astype(self.dtype),

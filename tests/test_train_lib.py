@@ -951,6 +951,34 @@ def test_per_replica_bn_step_on_mesh(cfg):
         assert np.isfinite(float(m["loss"])), regime
 
 
+def test_per_replica_bn_step_on_mesh_bf16_packed(cfg):
+    """SYNC_BN: False at the PRODUCTION dtype/layout (bf16 + packed).
+
+    Regression: vmapping the packed pair-conv custom VJP batches its
+    backward convs with both operands carrying the BN-group axis, and
+    GSPMD emitted an invalid feature-grouped conv when that axis was
+    sharded (jax 0.9). The custom vmap rule in packed.py folds the group
+    axis into the conv batch axis instead; this pins the full production
+    combo end-to-end."""
+    from multimodal_siamese_cd_tpu.parallel import batch_sharding, data_mesh
+
+    mesh = data_mesh(jax.devices()[:4])
+    cfg.MODEL.SYNC_BN = False
+    cfg.MODEL.PACKED_FULLRES = True
+    cfg.TRAINER.PRECISION = "bf16"
+    cfg.TRAINER.BATCH_SIZE = 8
+    cfg.MODEL.TYPE = "siameseunet"
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    step_fn = train_lib.make_train_step(model, cfg, "supervised", mesh=mesh)
+    batch = make_batch(cfg, "supervised")
+    reps = -(-cfg.TRAINER.BATCH_SIZE // batch["stack"].shape[0])
+    stack = np.tile(batch["stack"], (reps, 1, 1, 1))[:cfg.TRAINER.BATCH_SIZE]
+    lab = np.tile(batch["is_labeled"], reps)[:cfg.TRAINER.BATCH_SIZE]
+    stack = jax.device_put(stack, batch_sharding(mesh))
+    state, m = step_fn(state, stack, lab, jax.random.PRNGKey(3))
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_per_replica_bn_survives_scan_fusion(cfg):
     """Regression: make_scanned_train_step used to build its body with
     mesh=None, silently collapsing MODEL.SYNC_BN: False back to sync-BN
