@@ -94,12 +94,21 @@ class SceneCache:
                 if want(t)]
 
     def _cache_key(self, aoi_id: str, modality: str) -> str:
+        """``{aoi}_{modality}_{confighash}_{srchash}`` — two hashes so the
+        pruner can tell a SUPERSEDED generation (same config identity,
+        stale source fingerprint: safe to delete) from ANOTHER CONFIG's
+        cache (different bands/dtype sharing the dataset dir: deleting it
+        would ping-pong full rebuilds between alternating runs)."""
         bands = self.s1_bands if modality == "s1" else self.s2_bands
         stamps = self._timestamps(aoi_id, modality)
+        config_ident = json.dumps(
+            [_CACHE_VERSION, modality, bands, str(self.dtype)])
         # Fingerprint the SOURCE files (size + mtime): without this a
         # re-downloaded / regenerated tif would silently keep serving the
         # old cached pixels forever. A missing file hashes as None — the
         # build will surface the real error if it is actually needed.
+        # The timestamp list lives in the SOURCE hash too: metadata edits
+        # change it, and their old generations are equally superseded.
         src = []
         for (y, m) in stamps:
             try:
@@ -107,10 +116,9 @@ class SceneCache:
                 src.append([st.st_size, st.st_mtime_ns])
             except OSError:
                 src.append(None)
-        ident = json.dumps([_CACHE_VERSION, modality, bands, stamps,
-                            str(self.dtype), src])
-        h = hashlib.sha1(ident.encode()).hexdigest()[:10]
-        return f"{aoi_id}_{modality}_{h}"
+        ch = hashlib.sha1(config_ident.encode()).hexdigest()[:10]
+        sh = hashlib.sha1(json.dumps([stamps, src]).encode()).hexdigest()[:10]
+        return f"{aoi_id}_{modality}_{ch}_{sh}"
 
     def _build(self, aoi_id: str, modality: str, npy: Path, meta_file: Path) -> None:
         ts = self._timestamps(aoi_id, modality)
@@ -144,16 +152,20 @@ class SceneCache:
 
     def _prune_stale(self, aoi_id: str, modality: str, keep: str) -> None:
         """Delete superseded cache generations for ``(aoi, modality)``: a
-        source re-download changes the fingerprint hash in the cache key,
-        and without pruning every generation's packed array (hundreds of MB
-        per entry at production scene sizes) would accumulate forever.
-        Unlinking is safe against concurrent readers — an open mmap keeps
-        the inode alive until unmapped."""
+        source re-download changes the source-fingerprint hash in the
+        cache key, and without pruning every generation's packed array
+        (hundreds of MB per entry at production scene sizes) would
+        accumulate forever. Only generations sharing ``keep``'s CONFIG
+        hash are touched — a different bands/dtype config legitimately
+        keeps its own live cache in the same dataset dir. Unlinking is
+        safe against concurrent readers — an open mmap keeps the inode
+        alive until unmapped."""
         import re
 
+        config_prefix = keep.rsplit("_", 1)[0]  # {aoi}_{modality}_{ch}
         pat = re.compile(
-            re.escape(f"{aoi_id}_{modality}_") + r"[0-9a-f]{10}\.(npy|json)")
-        for f in self.cache_dir.glob(f"{aoi_id}_{modality}_*"):
+            re.escape(config_prefix + "_") + r"[0-9a-f]{10}\.(npy|json)")
+        for f in self.cache_dir.glob(f"{config_prefix}_*"):
             if pat.fullmatch(f.name) and not f.name.startswith(keep + "."):
                 try:
                     f.unlink()

@@ -351,6 +351,9 @@ def test_cache_key_changes_when_source_tif_changes(cfg, fixture_dataset,
 
     tree = tmp_path / "ds"
     shutil.copytree(fixture_dataset, tree)
+    # other tests cache straight into fixture_dataset; drop the copied
+    # generations so the lineage counts below see only THIS test's builds
+    shutil.rmtree(tree / ".cache_tpu", ignore_errors=True)
     meta = geofiles.load_json(tree / "metadata.json")
     aoi = TRAIN_AOIS[0]
     ts = meta[aoi][0]
@@ -371,6 +374,49 @@ def test_cache_key_changes_when_source_tif_changes(cfg, fixture_dataset,
     gens = sorted(fresh.cache_dir.glob(f"{aoi}_s1_*.npy"))
     assert len(gens) == 1
     assert gens[0].name == fresh._cache_key(aoi, "s1") + ".npy"
+
+
+def test_cache_prune_spares_other_configs_generations(cfg, fixture_dataset,
+                                                      tmp_path):
+    """Two configs (different bands/dtype) sharing one dataset dir must
+    each keep a live cache: pruning by bare (aoi, modality) made every
+    alternation between such runs delete the other's packed arrays and
+    pay a full re-decode — the exact cost the cache exists to avoid. Only
+    generations with the SAME config hash but a stale source fingerprint
+    are superseded."""
+    import os
+    import shutil
+
+    tree = tmp_path / "ds"
+    shutil.copytree(fixture_dataset, tree)
+    shutil.rmtree(tree / ".cache_tpu", ignore_errors=True)  # see above
+    meta = geofiles.load_json(tree / "metadata.json")
+    aoi = TRAIN_AOIS[0]
+    ts = meta[aoi][0]
+    cache_a = SceneCache(tree, meta, [0, 1], [2, 1, 0, 3], dtype="float32")
+    a_before = cache_a.load(aoi, "s1", ts["year"], ts["month"])
+    cache_b = SceneCache(tree, meta, [0], [2, 1, 0, 3], dtype="float16")
+    cache_b.load(aoi, "s1", ts["year"], ts["month"])
+
+    # B's build must not have pruned A's generation — and vice versa on a
+    # fresh alternation back to A's config
+    key_a = cache_a._cache_key(aoi, "s1")
+    key_b = cache_b._cache_key(aoi, "s1")
+    live = {p.name for p in cache_a.cache_dir.glob(f"{aoi}_s1_*.npy")}
+    assert live == {key_a + ".npy", key_b + ".npy"}
+
+    # a source rewrite still prunes within each config's own lineage
+    tif = tree / aoi / "s1" / f"s1_{aoi}_{ts['year']}_{ts['month']:02d}.tif"
+    img, transform, crs = geofiles.read_tif(tif)
+    geofiles.write_tif(tif, np.clip(img * 0.25, 0, 1), transform, crs)
+    os.utime(tif, ns=(os.stat(tif).st_mtime_ns + 10**9,) * 2)
+    fresh_a = SceneCache(tree, meta, [0, 1], [2, 1, 0, 3], dtype="float32")
+    fresh_a.load(aoi, "s1", ts["year"], ts["month"])
+    live = {p.name for p in fresh_a.cache_dir.glob(f"{aoi}_s1_*.npy")}
+    assert fresh_a._cache_key(aoi, "s1") + ".npy" in live
+    assert key_a + ".npy" not in live          # superseded lineage pruned
+    assert key_b + ".npy" in live              # other config untouched
+    del a_before
 
 
 def test_cache_self_heals_corrupt_entry(cfg, fixture_dataset, tmp_path):
