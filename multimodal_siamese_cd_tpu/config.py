@@ -30,6 +30,28 @@ import yaml
 BASE_KEY = "_BASE_"
 _SCI_NOTATION = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)[eE][+-]?\d+$")
 
+# This framework's knobs beyond the reference's config surface. CLI
+# overrides may set these even though no shipped YAML declares them;
+# every other unknown key is rejected like the reference's yacs does.
+# Each entry corresponds to a `.get(KEY, default)` read in the code.
+EXTENSION_KEYS = frozenset({
+    "MODEL.BN_AXIS_NAME",          # factory.py: BN cross-replica axis name
+    "MODEL.PACKED_FULLRES",        # factory.py: packed 2x1 full-res layout
+    "MODEL.REMAT",                 # factory.py: stage-level jax.checkpoint
+    "MODEL.SYNC_BN",               # train_lib.py: per-replica BN groups
+    "TRAINER.PRECISION",           # factory.py: bf16/fp32 compute dtype
+    "TRAINER.GRAD_ACCUM",          # train_lib.py: micro-batch accumulation
+    "TRAINER.SPATIAL_SHARDS",      # trainers.py: 2-D (data, space) mesh
+    "TRAINER.STEPS_PER_EXECUTION", # trainers.py: scan-fused step window
+    "TRAINER.EVAL_PAD_MULTIPLE",   # evaluation.py: eval bucket granularity
+    "TRAINER.PROFILE_DIR",         # trainers.py: jax.profiler trace dir
+    "TRAINER.RESUME_CHECKPOINT",   # trainers.py: resume epoch
+    "DATALOADER.WORKER_TYPE",      # trainers.py: thread/process loader
+    "DATALOADER.SCENE_CACHE",      # cache.py: packed scene cache on/off
+    "DATALOADER.CACHE_DIR",        # cache.py: cache location override
+    "DATALOADER.CACHE_DTYPE",      # cache.py: packed imagery dtype
+})
+
 
 class _ConfigLoader(yaml.SafeLoader):
     """SafeLoader + YAML-1.2-style float resolution: a BARE ``1e-4`` parses
@@ -95,7 +117,14 @@ class CfgNode(dict):
 
         Values are parsed with yaml (so ``1e-4`` -> float, ``[1,2]`` -> list,
         ``True`` -> bool); unparseable strings stay strings. Dotted keys
-        address nested nodes and create them if missing.
+        address nested nodes.
+
+        Unknown keys RAISE, like the reference's yacs ``merge_from_list``
+        (it asserts "Non-existent key" regardless of new_allowed) — a
+        typo'd override (``TRAINER.LRATE 0.001``) must not silently train
+        at the default LR. The one extension over yacs: this framework's
+        own knobs (:data:`EXTENSION_KEYS`) are accepted even when the
+        loaded config files never mention them.
         """
         if not opts:
             return
@@ -106,6 +135,11 @@ class CfgNode(dict):
             parts = full_key.split(".")
             for i, part in enumerate(parts[:-1]):
                 if part not in node:
+                    if full_key not in EXTENSION_KEYS:
+                        raise KeyError(
+                            f"Non-existent config key: {full_key} "
+                            f"('{'.'.join(parts[:i + 1])}' is not defined; "
+                            f"the reference CLI rejects unknown overrides)")
                     node[part] = CfgNode()
                 elif not isinstance(node[part], CfgNode):
                     # a typo'd path like MODEL.TYPE.NAME would otherwise
@@ -116,6 +150,11 @@ class CfgNode(dict):
                         f"'{'.'.join(parts[:i + 1])}', which holds the "
                         f"non-mapping value {node[part]!r}")
                 node = node[part]
+            if parts[-1] not in node and full_key not in EXTENSION_KEYS:
+                raise KeyError(
+                    f"Non-existent config key: {full_key} (the reference "
+                    f"CLI rejects unknown overrides; TPU-extension knobs "
+                    f"are listed in config.EXTENSION_KEYS)")
             node[parts[-1]] = self._convert(_decode_value(raw))
 
     # -- utilities ----------------------------------------------------------

@@ -58,6 +58,8 @@ def test_sci_notation_floats_quoted_vs_bare(tmp_path):
     assert c.VERSION == "12"
     # CLI override values decode as Python literals (reference yacs
     # _decode_cfg_value semantics), not YAML
+    c.A = None
+    c.B = None
     c.merge_from_list(["A", "3e-2", "B", "hello"])
     assert c.A == 3e-2 and isinstance(c.A, float)
     assert c.B == "hello"
@@ -67,7 +69,7 @@ def test_merge_from_list_yaml11_traps_stay_strings():
     # YAML-1.1 would mangle these (no->False, 010->octal 8, 1:30->90,
     # bare dates -> datetime.date); the reference's literal_eval decode
     # keeps them as the strings the user typed.
-    c = CfgNode()
+    c = CfgNode({k: None for k in "ABCDE"})
     c.merge_from_list([
         "A", "no",
         "B", "010",
@@ -87,6 +89,33 @@ def test_merge_from_list_rejects_path_through_scalar():
     with pytest.raises(KeyError, match="MODEL.TYPE"):
         c.merge_from_list(["MODEL.TYPE.NAME", "x"])
     assert c.MODEL.TYPE == "siameseunet"   # untouched by the failed merge
+
+
+def test_merge_from_list_rejects_unknown_keys():
+    """yacs parity: a typo'd override must raise, not silently create a
+    dead key and train at the default (reference merge_from_list asserts
+    'Non-existent key' regardless of new_allowed)."""
+    c = CfgNode({"TRAINER": {"LR": 1e-4}})
+    with pytest.raises(KeyError, match="TRAINER.LRATE"):
+        c.merge_from_list(["TRAINER.LRATE", "0.001"])     # typo'd leaf
+    with pytest.raises(KeyError, match="TRANIER.LR"):
+        c.merge_from_list(["TRANIER.LR", "0.001"])        # typo'd section
+    assert c.TRAINER.LR == 1e-4
+
+
+def test_merge_from_list_accepts_extension_keys():
+    """This framework's own knobs are settable via CLI even when the
+    loaded YAML never mentions them (config.EXTENSION_KEYS)."""
+    c = CfgNode({"TRAINER": {"LR": 1e-4}})
+    c.merge_from_list(["TRAINER.GRAD_ACCUM", "4",
+                       "MODEL.REMAT", "True",
+                       "DATALOADER.SCENE_CACHE", "False"])
+    assert c.TRAINER.GRAD_ACCUM == 4
+    assert c.MODEL.REMAT is True
+    assert c.DATALOADER.SCENE_CACHE is False
+    # every EXTENSION_KEYS entry matches a real .get() read in the code
+    for key in cfg_mod.EXTENSION_KEYS:
+        assert key.count(".") == 1
 
 
 def test_base_path_expanduser(tmp_path, monkeypatch):
@@ -115,14 +144,12 @@ def test_merge_from_list_types():
         "MODEL.TYPE", "siameseunet",
         "DEBUG", "True",
         "MODEL.TOPOLOGY", "[8, 16]",
-        "NEW.NESTED.KEY", "hello",
     ])
     assert c.TRAINER.LR == 5e-3
     assert c.TRAINER.BATCH_SIZE == 16
     assert c.MODEL.TYPE == "siameseunet"
     assert c.DEBUG is True
     assert c.MODEL.TOPOLOGY == [8, 16]
-    assert c.NEW.NESTED.KEY == "hello"   # new keys always allowed
 
 
 def test_every_config_loads():
