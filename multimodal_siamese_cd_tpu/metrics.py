@@ -50,8 +50,12 @@ class MultiThresholdMetric:
             y_true, y_pred, self._thresholds, valid_mask)
         # route through add_counts so the stored totals are ALWAYS host
         # float64: a jnp `+` here would silently demote totals accumulated
-        # by the fused path back to float32 when the two paths mix
-        self.add_counts(tp, tn, fp, fn)
+        # by the fused path back to float32 when the two paths mix. Stack
+        # first so the device-to-host transfer is ONE fetch, not four — on
+        # the tunneled TPU each fetch is a ~25 ms RTT, so four serial
+        # fetches per scene cost ~100 ms on the item-path eval
+        counts = np.asarray(jnp.stack([tp, tn, fp, fn]))
+        self.add_counts(*counts)
 
     def add_counts(self, tp, tn, fp, fn) -> None:
         """Accumulate precomputed per-threshold ``(n_thresholds,)`` counts —

@@ -70,9 +70,12 @@ def main() -> int:
         # Speed-of-light accounting (same methodology as the train-step
         # budgets in BASELINE.md): XLA's analytical FLOP count for the
         # compiled eval forward divided by the measured wall time.
-        # eval_forward is already jitted — lower through the SAME wrapper so
-        # the compiled executable from the timed run above is reused instead
-        # of paying a second multi-minute compile on the tunneled rig.
+        # NOTE: lower().compile() does NOT reuse the timed run's in-memory
+        # executable (jit's C++ cache is keyed separately from explicit
+        # lowering), so on the tunneled rig --sol pays a second compile of
+        # the eval forward after the measurement. The FLOP count needs the
+        # compiled module either way; accept the cost rather than claim
+        # reuse that doesn't happen.
         lowered = train_lib.eval_forward.lower(model, state.params,
                                                state.batch_stats, x1d, x2d)
         cost = lowered.compile().cost_analysis()
