@@ -73,6 +73,14 @@ def _arm_wedge_watchdog(seconds: float) -> None:
             print(f"BENCH WEDGED: no completed device step after {seconds:.0f}s"
                   " — accelerator backend unreachable (tunnel down?);"
                   " aborting instead of hanging", file=sys.stderr, flush=True)
+            # still emit ONE parseable JSON line on stdout so the driver's
+            # artifact records a machine-readable failure, not a blank file
+            print(json.dumps({"metric": "train_throughput",
+                              "value": 0.0, "unit": "patches/s/chip",
+                              "vs_baseline": 0.0,
+                              "error": f"backend wedged: no device step "
+                                       f"within {seconds:.0f}s"}),
+                  flush=True)
             os._exit(2)
 
     threading.Thread(target=watch, daemon=True).start()
@@ -88,6 +96,12 @@ def _arm_deadline(seconds: float) -> None:
         print(f"BENCH DEADLINE: run exceeded {seconds:.0f}s — accelerator "
               "backend likely wedged mid-run; aborting instead of hanging",
               file=sys.stderr, flush=True)
+        print(json.dumps({"metric": "train_throughput",
+                          "value": 0.0, "unit": "patches/s/chip",
+                          "vs_baseline": 0.0,
+                          "error": f"backend wedged mid-run: exceeded "
+                                   f"{seconds:.0f}s deadline"}),
+              flush=True)
         os._exit(3)
 
     threading.Thread(target=watch, daemon=True).start()
