@@ -134,6 +134,7 @@ def _eval_wire_counts_jit(model, params, batch_stats, x1p, x2p, y, valid,
 
 
 @_functools.lru_cache(maxsize=8)
+@_functools.lru_cache(maxsize=None)
 def _replicated_jit(fn, mesh):
     """Re-jit a wire-counts function with REPLICATED outputs for a mesh.
     The per-scene counts inherit the group's data-axis sharding, which on a

@@ -667,6 +667,21 @@ def test_wired_eval_multihead_and_pad_exact_modes(cfg):
                 np.asarray(getattr(ref, k), np.float64), err_msg=f"{k}@{bucket}")
 
 
+def test_replicated_jit_is_cached_per_fn_and_mesh():
+    """Two eval passes on the same mesh must reuse ONE jit object (and
+    hence one XLA executable cache): without the cache every mesh eval
+    pass re-jitted the fused eval forward from scratch — a multi-minute
+    recompile per eval on the real TPU."""
+    from multimodal_siamese_cd_tpu.parallel import data_mesh
+
+    f = evaluation._eval_wire_counts_jit.__wrapped__
+    m1 = data_mesh(jax.devices()[:4])
+    m2 = data_mesh(jax.devices()[:4])
+    assert evaluation._replicated_jit(f, m1) is evaluation._replicated_jit(f, m2)
+    m8 = data_mesh(jax.devices()[:8])
+    assert evaluation._replicated_jit(f, m8) is not evaluation._replicated_jit(f, m1)
+
+
 def test_wired_eval_mesh_sharded_matches_single_device(cfg):
     """Fused eval with the group batch axis sharded over the 8-device
     virtual mesh (including zero-valid padding up to a mesh multiple — the
