@@ -113,9 +113,47 @@ def test_merge_from_list_accepts_extension_keys():
     assert c.TRAINER.GRAD_ACCUM == 4
     assert c.MODEL.REMAT is True
     assert c.DATALOADER.SCENE_CACHE is False
-    # every EXTENSION_KEYS entry matches a real .get() read in the code
     for key in cfg_mod.EXTENSION_KEYS:
         assert key.count(".") == 1
+
+
+def test_extension_keys_cover_every_cfg_get_read():
+    """Anti-drift: every ``cfg.<NS>.get("KEY", default)`` knob in the
+    package must be in config.EXTENSION_KEYS (else a documented knob
+    raises 'Non-existent config key' from the CLI) and vice versa (else
+    the allowlist advertises a knob nothing reads)."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(cfg_mod.__file__).parent
+    pat = re.compile(
+        r"\.(?P<ns>TRAINER|MODEL|DATALOADER|AUGMENTATION|CONSISTENCY_TRAINER"
+        r"|DATASET|PATHS)\s*\.get\(\s*['\"](?P<key>[A-Z_0-9]+)['\"]")
+    read = set()
+    for py in pkg.rglob("*.py"):
+        for m in pat.finditer(py.read_text()):
+            read.add(f"{m.group('ns')}.{m.group('key')}")
+    # knobs the shipped YAML already declares are NOT extension keys
+    declared = set()
+    for yaml_file in (Path(cfg_mod.__file__).parent.parent / "configs").glob("*.yaml"):
+        import yaml as _yaml
+        data = _yaml.safe_load(yaml_file.read_text()) or {}
+        for ns, sub in data.items():
+            if isinstance(sub, dict):
+                declared |= {f"{ns}.{k}" for k in sub}
+    needed = read - declared
+    missing = needed - set(cfg_mod.EXTENSION_KEYS)
+    assert not missing, f"missing from EXTENSION_KEYS: {sorted(missing)}"
+    # staleness check is leaf-level: some knobs are read through an alias
+    # (cache.py's `dl = cfg.DATALOADER; dl.get("SCENE_CACHE", ...)`) that
+    # the namespaced regex cannot see
+    leaf_pat = re.compile(r"\.get\(\s*['\"]([A-Z_0-9]+)['\"]")
+    leaves_read = set()
+    for py in pkg.rglob("*.py"):
+        leaves_read |= set(leaf_pat.findall(py.read_text()))
+    stale = {k for k in cfg_mod.EXTENSION_KEYS
+             if k.split(".", 1)[1] not in leaves_read}
+    assert not stale, f"stale in EXTENSION_KEYS (no .get() reads them): {sorted(stale)}"
 
 
 def test_base_path_expanduser(tmp_path, monkeypatch):
