@@ -105,7 +105,8 @@ def scene_probabilities(model, state, item: dict,
 def _eval_wire_counts_jit(model, params, batch_stats, x1p, x2p, y, valid,
                           thresholds):
     """Fused eval forward + confusion for one padded scene group — ONE
-    dispatch in, a tiny ``(B, n_thresholds)`` count quadruple out.
+    dispatch in, one tiny ``(B, 4, n_thresholds)`` count array out
+    (tp/tn/fp/fn rows per scene).
 
     Wires are planar ``(B, C, Hp, Wp)`` in the cache storage dtype plus
     uint8 label/valid planes; the transpose to NHWC and the float32 upcast
@@ -128,13 +129,15 @@ def _eval_wire_counts_jit(model, params, batch_stats, x1p, x2p, y, valid,
     probs = eval_forward(model, params, batch_stats, x1, x2)
 
     def scene_counts(p, yt, v):
-        return confusion_at_thresholds(yt, p, thresholds, v)
+        return jnp.stack(confusion_at_thresholds(yt, p, thresholds, v))
 
+    # one (B, 4, n_thresholds) array, not a 4-tuple: the host fetch is ONE
+    # device-to-host transfer per group instead of four ~25 ms RTTs on the
+    # tunneled TPU (same reasoning as metrics.add_sample's stacked fetch)
     return _jax.vmap(scene_counts)(probs[..., 0], y, valid)
 
 
 @_functools.lru_cache(maxsize=8)
-@_functools.lru_cache(maxsize=None)
 def _replicated_jit(fn, mesh):
     """Re-jit a wire-counts function with REPLICATED outputs for a mesh.
     The per-scene counts inherit the group's data-axis sharding, which on a
@@ -252,7 +255,7 @@ def _measure_wired(model, state, ds, measurer,
         run_group=lambda arrs: counts_fn(
             model, state.params, state.batch_stats, *arrs, thr),
         accumulate=lambda counts: measurer.add_counts(
-            *(np.asarray(a, np.float64).sum(axis=0) for a in counts)),
+            *np.asarray(counts, np.float64).sum(axis=0)),
         mesh=mesh)
     return measurer
 
@@ -428,8 +431,9 @@ def _dualtask_wire_counts_jit(model, params, batch_stats, x1p, x2p,
                               ych, ysem1, ysem2, valid):
     """Fused dual-task forward + strict-threshold confusion over one padded
     scene group — the offline-assessment analog of :func:`_eval_wire_counts_
-    jit`. Ships back only per-scene ``{block: (tp, fp, fn)}`` scalars for
-    the three reference blocks (change / change-from-semantics / semantics,
+    jit`. Ships back only per-scene ``(4, 3)`` count rows (tp, fp, fn per
+    block, rows in :data:`_DUALTASK_BLOCKS` order) for the reference's
+    assessment blocks (change / change-from-semantics / semantics,
     assessment_semantics.py:99-152), instead of four full-scene probability
     rasters (~16 MB/1024² scene). Semantics counts are shipped per
     TIMESTAMP (sem_t1 / sem_t2) and pooled on host in float64 — summing
@@ -443,15 +447,22 @@ def _dualtask_wire_counts_jit(model, params, batch_stats, x1p, x2p,
             model, variables, x1, x2))
 
     def scene(c, cs, s1, s2, y, y1, y2, v):
-        return {
-            "change": strict_confusion_counts(y, c, v),
-            "change_sem": strict_confusion_counts(y, cs, v),
-            "sem_t1": strict_confusion_counts(y1, s1, v),
-            "sem_t2": strict_confusion_counts(y2, s2, v),
-        }
+        # (4, 3) — rows in _DUALTASK_BLOCKS order; one array, not a dict
+        # of tuples, so the host fetch is ONE transfer per group instead
+        # of 12 ~25 ms RTTs on the tunneled TPU
+        return jnp.stack([
+            jnp.stack(strict_confusion_counts(y, c, v)),
+            jnp.stack(strict_confusion_counts(y, cs, v)),
+            jnp.stack(strict_confusion_counts(y1, s1, v)),
+            jnp.stack(strict_confusion_counts(y2, s2, v)),
+        ])
 
     return _jax.vmap(scene)(change, change_sem, sem1, sem2,
                             ych, ysem1, ysem2, valid)
+
+
+# row order of _dualtask_wire_counts_jit's (B, 4, 3) result
+_DUALTASK_BLOCKS = ("change", "change_sem", "sem_t1", "sem_t2")
 
 
 def dualtask_quantitative_counts(model, state, ds, bucket: int = EVAL_BUCKET,
@@ -474,13 +485,13 @@ def dualtask_quantitative_counts(model, state, ds, bucket: int = EVAL_BUCKET,
     totals = {k: np.zeros(3, np.float64)
               for k in ("change", "change_sem", "sem")}
 
-    def accumulate(blocks: dict) -> None:
-        # sem_t1/sem_t2 pool into 'sem' here (float64) — the reference's
+    def accumulate(counts) -> None:
+        # ONE fetch of the (B, 4, 3) group counts, then float64 pooling on
+        # host; sem_t1/sem_t2 pool into 'sem' — the reference's
         # concatenated t1+t2 prediction list, kept exact per scene
-        for k, t in blocks.items():
-            key = "sem" if k.startswith("sem_") else k
-            totals[key] += np.array([np.asarray(a, np.float64).sum()
-                                     for a in t])
+        pooled = np.asarray(counts, np.float64).sum(axis=0)   # (4, 3)
+        for row, k in zip(pooled, _DUALTASK_BLOCKS):
+            totals["sem" if k.startswith("sem_") else k] += row
 
     # group_scale=2: this dispatch holds roughly twice the live bytes per
     # scene of the envelope-measured change-head forward (a second decoder

@@ -396,7 +396,7 @@ def run_training(cfg, regime: str) -> None:
     k_exec, step_fn, stream_sharding = _execution_plan(
         cfg, model, regime, mesh, loader, start_step)
 
-    global_step, epoch_float = start_step, 0
+    global_step = start_step  # advances inside _run_epochs
     start_epoch = start_step // steps_per_epoch
     if start_epoch:
         print(f'resuming at epoch {start_epoch + 1} '
