@@ -157,28 +157,58 @@ class SceneCache:
         (hundreds of MB per entry at production scene sizes) would
         accumulate forever. Only generations sharing ``keep``'s CONFIG
         hash are touched — a different bands/dtype config legitimately
-        keeps its own live cache in the same dataset dir. Unlinking is
-        safe against concurrent readers — an open mmap keeps the inode
-        alive until unmapped."""
+        keeps its own live cache in the same dataset dir. (Timestamps live
+        in the SOURCE hash: two runs can only disagree on them mid-edit of
+        the shared metadata.json, a transient state, whereas a committed
+        metadata change genuinely supersedes old generations.) Unlinking
+        is safe against concurrent readers — an open mmap keeps the inode
+        alive until unmapped. Three sweeps:
+
+          * same config hash, different source hash — superseded;
+          * legacy single-hash names ({aoi}_{mod}_{10hex}.npy/.json) from
+            before the two-hash key format — never loadable again;
+          * builder tmp files ({name}.npy.{pid}.{hex8}) older than an
+            hour — a crashed/SIGKILLed builder's partial write (live
+            builds finish in minutes; the age bound protects concurrent
+            builders' tmps).
+        """
         import re
+        import time
 
         config_prefix = keep.rsplit("_", 1)[0]  # {aoi}_{modality}_{ch}
         pat = re.compile(
             re.escape(config_prefix + "_") + r"[0-9a-f]{10}\.(npy|json)")
-        for f in self.cache_dir.glob(f"{config_prefix}_*"):
-            if pat.fullmatch(f.name) and not f.name.startswith(keep + "."):
-                try:
+        legacy = re.compile(
+            re.escape(f"{aoi_id}_{modality}_") + r"[0-9a-f]{10}\.(npy|json)")
+        tmp = re.compile(
+            re.escape(f"{aoi_id}_{modality}_")
+            + r".+\.(npy|json)\.\d+\.[0-9a-f]{8}")
+        cutoff = time.time() - 3600
+        for f in self.cache_dir.glob(f"{aoi_id}_{modality}_*"):
+            try:
+                stale = (
+                    (pat.fullmatch(f.name)
+                     and not f.name.startswith(keep + "."))
+                    or legacy.fullmatch(f.name)
+                    or (tmp.fullmatch(f.name)
+                        and f.stat().st_mtime < cutoff))
+                if stale:
                     f.unlink()
-                except OSError:
-                    pass  # racing pruner/builder; next build sweeps again
+            except OSError:
+                pass  # racing pruner/builder; next build sweeps again
 
-    def _load_packed(self, aoi_id: str, modality: str):
+    def _load_packed(self, aoi_id: str, modality: str, _retry: bool = True):
         key = (aoi_id, modality)
         if key in self._open:
             return self._open[key]
         name = self._cache_key(aoi_id, modality)
         npy = self.cache_dir / f"{name}.npy"
         meta_file = self.cache_dir / f"{name}.json"
+
+        def read():
+            return (np.load(npy, mmap_mode="r"),
+                    json.loads(meta_file.read_text()))
+
         if not (npy.exists() and meta_file.exists()):
             with _lock_for(name):
                 if not (npy.exists() and meta_file.exists()):
@@ -186,20 +216,28 @@ class SceneCache:
                     self._build(aoi_id, modality, npy, meta_file)
                     self._prune_stale(aoi_id, modality, keep=name)
         try:
-            arr = np.load(npy, mmap_mode="r")
-            meta = json.loads(meta_file.read_text())
+            arr, meta = read()
+        except FileNotFoundError:
+            # the generation this process keyed can vanish mid-read when a
+            # source tif is re-downloaded concurrently: another process
+            # computes the NEW key, builds it, and its pruner unlinks ours.
+            # Our key is then stale — recompute it from fresh source stats
+            # (one bounded retry; a second disappearance means the dataset
+            # dir is being actively rewritten and deserves the error)
+            if not _retry:
+                raise
+            return self._load_packed(aoi_id, modality, _retry=False)
         except Exception:
             # a cache entry is REGENERABLE: a corrupt/truncated file (disk
             # hiccup, external tampering — atomic replace rules out partial
-            # writes from this code) is deleted and rebuilt once instead of
-            # surfacing an opaque np.load/json error for data we can remake
+            # writes from this code) is rebuilt once instead of surfacing
+            # an opaque np.load/json error for data we can remake
             with _lock_for(name):
                 try:
                     # double-check under the lock: a concurrent healer may
                     # have rebuilt the entry while this thread waited, and
                     # re-reading is much cheaper than a redundant rebuild
-                    arr = np.load(npy, mmap_mode="r")
-                    meta = json.loads(meta_file.read_text())
+                    arr, meta = read()
                 except Exception:
                     # NEVER unlink the current generation: _build writes a
                     # complete tmp file and atomically os.replace()s it over
@@ -207,13 +245,18 @@ class SceneCache:
                     # in-process lock table can't see it; loader workers
                     # share one cache dir) either still sees corrupt bytes
                     # and deterministically rebuilds the same content, or
-                    # sees a fresh entry — at no instant is the file absent.
-                    # An unlink here opened exactly that window: one
-                    # process's unlink could land between another's replace
-                    # and post-heal np.load, crashing the healing path.
+                    # sees a fresh entry — the file is only ever absent if
+                    # a concurrent pruner retired this whole GENERATION
+                    # (source re-download), which the FileNotFoundError
+                    # retry above handles by re-keying.
                     self._build(aoi_id, modality, npy, meta_file)
-                    arr = np.load(npy, mmap_mode="r")
-                    meta = json.loads(meta_file.read_text())
+                    try:
+                        arr, meta = read()
+                    except FileNotFoundError:
+                        if not _retry:
+                            raise
+                        return self._load_packed(aoi_id, modality,
+                                                 _retry=False)
         index = {tuple(t): i for i, t in enumerate(meta["timestamps"])}
         self._open[key] = (arr, index)
         return self._open[key]

@@ -419,6 +419,78 @@ def test_cache_prune_spares_other_configs_generations(cfg, fixture_dataset,
     del a_before
 
 
+def test_cache_prune_sweeps_legacy_and_stale_tmp_files(cfg, fixture_dataset,
+                                                       tmp_path):
+    """The pruner retires (a) legacy single-hash generations from before
+    the two-hash key format (never loadable again — they'd leak hundreds
+    of MB each forever) and (b) builder tmp files older than an hour (a
+    SIGKILLed builder's partial write), while leaving FRESH tmps alone
+    (they may belong to a live concurrent builder)."""
+    import os
+    import shutil
+
+    tree = tmp_path / "ds"
+    shutil.copytree(fixture_dataset, tree)
+    shutil.rmtree(tree / ".cache_tpu", ignore_errors=True)
+    meta = geofiles.load_json(tree / "metadata.json")
+    aoi = TRAIN_AOIS[0]
+    ts = meta[aoi][0]
+    cache_dir = tree / ".cache_tpu"
+    cache_dir.mkdir()
+    legacy_npy = cache_dir / f"{aoi}_s1_{'ab' * 5}.npy"
+    legacy_npy.write_bytes(b"old")
+    (cache_dir / f"{aoi}_s1_{'ab' * 5}.json").write_text("{}")
+    stale_tmp = cache_dir / f"{aoi}_s1_{'cd' * 10}_x.npy.123.deadbeef"
+    stale_tmp.write_bytes(b"partial")
+    os.utime(stale_tmp, (1, 1))  # ancient mtime
+    fresh_tmp = cache_dir / f"{aoi}_s1_{'ef' * 10}_y.npy.456.cafebabe"
+    fresh_tmp.write_bytes(b"inflight")
+    other_aoi_legacy = cache_dir / f"{TRAIN_AOIS[1]}_s1_{'ab' * 5}.npy"
+    other_aoi_legacy.write_bytes(b"old")  # different aoi: untouched
+
+    cache = SceneCache(tree, meta, [0, 1], [2, 1, 0, 3], dtype="float32")
+    cache.load(aoi, "s1", ts["year"], ts["month"])  # build -> prune
+    assert not legacy_npy.exists()
+    assert not (cache_dir / f"{aoi}_s1_{'ab' * 5}.json").exists()
+    assert not stale_tmp.exists()
+    assert fresh_tmp.exists()
+    assert other_aoi_legacy.exists()
+
+
+def test_cache_load_retries_when_generation_pruned_mid_read(
+        cfg, fixture_dataset, tmp_path, monkeypatch):
+    """A concurrent source re-download can retire THIS process's keyed
+    generation between its existence check and its np.load (the other
+    process builds the new key and prunes ours). The load must re-key
+    from fresh source stats and retry once instead of crashing."""
+    import shutil
+
+    from multimodal_siamese_cd_tpu.data import cache as cache_mod
+
+    tree = tmp_path / "ds"
+    shutil.copytree(fixture_dataset, tree)
+    meta = geofiles.load_json(tree / "metadata.json")
+    aoi = TRAIN_AOIS[0]
+    ts = meta[aoi][0]
+    seed = SceneCache(tree, meta, [0, 1], [2, 1, 0, 3], dtype="float32")
+    before = seed.load(aoi, "s1", ts["year"], ts["month"])
+
+    fails = {"n": 1}
+    orig_npload = np.load
+
+    def flaky_load(*a, **kw):
+        if fails["n"]:
+            fails["n"] -= 1
+            raise FileNotFoundError(a[0] if a else "pruned")
+        return orig_npload(*a, **kw)
+
+    monkeypatch.setattr(cache_mod.np, "load", flaky_load)
+    fresh = SceneCache(tree, meta, [0, 1], [2, 1, 0, 3], dtype="float32")
+    got = fresh.load(aoi, "s1", ts["year"], ts["month"])
+    np.testing.assert_array_equal(got, before)
+    assert fails["n"] == 0
+
+
 def test_cache_self_heals_corrupt_entry(cfg, fixture_dataset, tmp_path):
     """A corrupt packed cache file is REGENERABLE — the cache must rebuild
     it transparently instead of surfacing an opaque np.load error."""
