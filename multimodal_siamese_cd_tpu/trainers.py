@@ -454,16 +454,31 @@ def _run_epochs(cfg, regime, spec, mesh, model, state, rng, loader, epochs,
 
             if global_step % cfg.LOG_FREQ == 0:
                 print(f'Logging step {global_step} (epoch {epoch_float:.2f}).')
+                if next(iter(sets.values()), None):
+                    # drain the queued train steps before timing the evals —
+                    # a host FETCH, because on the tunneled axon platform
+                    # block_until_ready resolves before execution finishes
+                    # (CLAUDE.md); one ~25 ms RTT per LOG_FREQ window
+                    jax.device_get(next(iter(sets.values()))[-1])
+                eval_start = timeit.default_timer()
                 evaluation.model_evaluation(model, state, cfg, 'training',
                                             epoch_float, global_step,
                                             mesh=mesh)
                 evaluation.model_evaluation(model, state, cfg, 'validation',
                                             epoch_float, global_step,
                                             mesh=mesh)
+                eval_time = timeit.default_timer() - eval_start
                 time = timeit.default_timer() - start
                 wandb_compat.log({
                     **_window_summary(regime, sets, label_counts),
                     'time': time,
+                    # beyond-reference instrumentation: the window 'time'
+                    # (kept for metric parity, reference
+                    # train_supervised.py:100-116) is dominated by the two
+                    # full-split in-window evals at production shape;
+                    # train_time isolates the LOG_FREQ training steps so
+                    # steps/s is checkable against bench.py
+                    'train_time': time - eval_time,
                     'step': global_step,
                     'epoch': epoch_float,
                 })

@@ -33,6 +33,34 @@ if str(REPO_ROOT) not in sys.path:
 import numpy as np
 import pytest
 
+# Fast tier: core-logic files that together run in <5 min on this host
+# (measured 2026-08-19: config 6s, losses 16s, metrics 11s, golden 68s,
+# aux 34s, ops 13s, models 120s ≈ 4.5 min). Run with
+#   python -m pytest tests/ -m fast -q
+# The full suite (~30 min solo) stays the bar before a round ends; the fast
+# tier is the inner verify loop while iterating.
+_FAST_FILES = {
+    "test_config.py",
+    "test_losses.py",
+    "test_metrics.py",
+    "test_models.py",
+    "test_golden.py",
+    "test_aux.py",
+    "test_ops.py",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "fast: core-logic subset that runs in <5 min (inner loop)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if Path(item.fspath).name in _FAST_FILES:
+            item.add_marker(pytest.mark.fast)
+
 
 @pytest.fixture(scope="session")
 def repo_root() -> Path:

@@ -117,6 +117,35 @@ def test_profiler_hook_noop_without_dir(cfg):
     hook.close()  # no trace dir configured: must be a clean no-op
 
 
+def test_log_window_records_time_and_train_time(cfg, tmp_path):
+    """The in-epoch LOG_FREQ window must log the reference 'time' metric
+    plus the beyond-reference 'train_time' (window minus in-window evals),
+    with 0 < train_time <= time — the instrumentation lifecycle_run.py uses
+    to check steps/s against bench.py."""
+    from multimodal_siamese_cd_tpu import trainers
+
+    cfg.DEBUG = False
+    cfg.TRAINER.EPOCHS = 1
+    cfg.TRAINER.BATCH_SIZE = 2
+    cfg.DATALOADER.TRAINING_MULTIPLIER = 10   # 2 AOIs x 10 / 2 = 10 steps
+    cfg.LOG_FREQ = 5                          # two in-epoch windows
+    cfg.SAVE_CHECKPOINTS = []
+    wandb_compat.init(cfg.NAME, mode="jsonl", out_dir=cfg.PATHS.OUTPUT)
+    trainers.run_supervised(cfg)
+    wandb_compat.finish()
+    lines = [json.loads(l) for l in
+             (tmp_path / "logs" / f"{cfg.NAME}.jsonl").read_text().splitlines()]
+    windows = [r for r in lines if "train_time" in r]
+    assert len(windows) == 2, [sorted(r) for r in lines]
+    for w in windows:
+        assert w["step"] % cfg.LOG_FREQ == 0
+        assert 0 < w["train_time"] <= w["time"], w
+    # the window evals logged their F1 records at the same steps
+    for split in ("training", "validation"):
+        steps = [r["step"] for r in lines if f"{split} F1" in r]
+        assert set(w["step"] for w in windows) <= set(steps), (split, lines)
+
+
 def test_jsonl_logging_sink(tmp_path):
     wandb_compat.init("runx", config={"A": 1}, mode="jsonl", out_dir=tmp_path)
     wandb_compat.log({"loss": 0.5, "step": 1})

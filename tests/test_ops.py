@@ -45,10 +45,17 @@ def test_dispatcher_fallback_on_cpu():
 
 
 def test_pallas_conv3x3_matches_lax_conv():
+    # archived experiment (tools/pallas_conv3x3_experiment.py — final
+    # negative, see BASELINE.md); the correctness pin stays so the worked
+    # DMA/tap-pack example keeps compiling in interpret mode
+    import sys
+    from pathlib import Path
+
     import jax
     import jax.numpy as jnp
 
-    from multimodal_siamese_cd_tpu.ops.conv3x3 import (
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from pallas_conv3x3_experiment import (
         conv3x3_pallas,
         conv3x3_reference,
     )

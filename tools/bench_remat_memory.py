@@ -66,7 +66,21 @@ def analyze(label, overrides, crop, batch, regime):
     stack = host.uniform(0, 1, (batch, 15, crop, crop)).astype(np.float16)
     stack[:, 12:] = (stack[:, 12:] > 0.8).astype(np.float16)
     lab = np.ones((batch,), np.float32)
-    compiled = step.lower(state, stack, lab, jax.random.PRNGKey(3)).compile()
+    try:
+        compiled = step.lower(state, stack, lab,
+                              jax.random.PRNGKey(3)).compile()
+    except jax.errors.JaxRuntimeError as e:
+        # XLA:TPU refuses to compile a program whose buffer assignment
+        # exceeds HBM ("Ran out of memory in memory space hbm" — on the
+        # tunneled axon backend the detail lands in the remote compiler's
+        # stderr log, the exception itself is an HTTP 500). A config that
+        # cannot even compile is the measurement: record it and move on so
+        # the levers that DO fit still get analyzed.
+        rec = {"label": label, "crop": crop, "batch": batch,
+               "regime": regime, "compile_failed": True,
+               "error": " ".join(str(e).split())[:200]}
+        print(json.dumps(rec), flush=True)
+        return rec
     m = compiled.memory_analysis()
     if m is None:
         print(json.dumps({"label": label, "error": "memory_analysis "
@@ -131,16 +145,23 @@ def main():
                     "TRAINER.GRAD_ACCUM", str(args.grad_accum)],
                    args.crop, args.batch, args.regime)
 
-    if base and base["temp_mib"]:
-        summary = {"metric": "remat_memory", "backend": backend,
-                   "crop": args.crop, "batch": args.batch,
-                   "regime": args.regime,
-                   "plain_temp_mib": base["temp_mib"]}
-        for rec in (remat, accum, both):
-            if rec:
-                summary[f"{rec['label']}_temp_ratio"] = round(
-                    rec["temp_mib"] / base["temp_mib"], 3)
-        print(json.dumps(summary))
+    summary = {"metric": "remat_memory", "backend": backend,
+               "crop": args.crop, "batch": args.batch, "regime": args.regime}
+    base_temp = base.get("temp_mib") if base else None
+    if base:
+        summary["plain_temp_mib"] = base_temp if base_temp is not None \
+            else "COMPILE_OOM"
+    for rec in (remat, accum, both):
+        if not rec:
+            continue
+        if rec.get("compile_failed"):
+            summary[f"{rec['label']}_temp_mib"] = "COMPILE_OOM"
+        elif base_temp:
+            summary[f"{rec['label']}_temp_ratio"] = round(
+                rec["temp_mib"] / base_temp, 3)
+        else:
+            summary[f"{rec['label']}_temp_mib"] = rec["temp_mib"]
+    print(json.dumps(summary))
     return 0
 
 

@@ -1,0 +1,262 @@
+#!/usr/bin/env python
+"""Production-cadence, multi-epoch lifecycle run on the chip (VERDICT r3 #2).
+
+The closest buildable stand-in for the real-SpaceNet7 north star: a
+synthetic dataset at the REFERENCE's production shape (39 train / 9 val /
+12 test labeled AOIs + 20 unlabeled, ~1024^2 scenes — reference
+configs/base.yaml:28,47-134), trained through the SHIPPED supervised CLI
+with the reference's control flow at scale (LOG_FREQ=100 full-split
+in-epoch evals, epoch-end evals, SAVE_CHECKPOINTS — reference
+train_supervised.py:84-116), for >= 3 epochs x >= 300 steps, including:
+
+  * a hard SIGKILL mid-epoch-3 (preemption stand-in), then resume from the
+    epoch-2 checkpoint via TRAINER.RESUME_CHECKPOINT;
+  * a seam-invisibility assertion: the killed run and the resumed run both
+    log the same post-resume window (first LOG_FREQ multiple into epoch 3)
+    — every metric in that record must match, proving checkpoint +
+    loader-schedule + PRNG restoration is exact;
+  * steps/s check: per-window `train_time` (window minus in-window evals)
+    against bench.py's converged step time;
+  * final offline assessment (assessment_change.py) on the artifact.
+
+Usage:  python tools/lifecycle_run.py            # full production shape
+        python tools/lifecycle_run.py --scene 128 --multiplier 16  # smoke
+
+Writes a self-contained report (JSON) plus the raw JSONL logs under
+--out-dir; the F1-trajectory summary prints at the end.
+"""
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+CONFIG = "siamese"  # supervised headline config
+
+TRAIN = [f"L15-lftrain{i}" for i in range(39)]
+VAL = [f"L15-lfval{i}" for i in range(9)]
+TEST = [f"L15-lftest{i}" for i in range(12)]
+UNLAB = [f"L15-lfunlab{i}" for i in range(20)]
+
+
+def ensure_dataset(root: Path, scene: int) -> None:
+    import shutil
+
+    params = {"scene": scene, "train": TRAIN, "val": VAL, "test": TEST,
+              "unlab": UNLAB, "v": 1}
+    marker = root / "lifecycle_gen_params.json"
+    if marker.exists() and json.loads(marker.read_text()) == params:
+        return
+    if root.exists():
+        if not marker.exists():
+            # NEVER delete a tree this tool didn't generate
+            raise SystemExit(
+                f"{root} exists but has no {marker.name}; refusing to "
+                f"overwrite a dataset this tool did not generate")
+        shutil.rmtree(root)
+    from multimodal_siamese_cd_tpu.data.synthetic import (
+        generate_fixture_dataset)
+
+    t0 = time.time()
+    print(f"generating synthetic dataset at {root} "
+          f"({len(TRAIN)}/{len(VAL)}/{len(TEST)}+{len(UNLAB)} AOIs, "
+          f"~{scene}^2 scenes)...", flush=True)
+    aois = {a: True for a in TRAIN + VAL + TEST}
+    aois.update({a: False for a in UNLAB})
+    generate_fixture_dataset(root, scene_size=(scene, scene), aois=aois)
+    marker.write_text(json.dumps(params))
+    print(f"dataset generated in {time.time() - t0:.0f} s", flush=True)
+
+
+def overrides(args, steps_per_epoch) -> list:
+    return ["DATASET.TRAINING_IDS", repr(TRAIN),
+            "DATASET.VALIDATION_IDS", repr(VAL),
+            "DATASET.TEST_IDS", repr(TEST),
+            "DATASET.UNLABELED_IDS", repr(UNLAB),
+            "DATALOADER.TRAINING_MULTIPLIER", str(args.multiplier),
+            "LOG_FREQ", str(args.log_freq),
+            "TRAINER.EPOCHS", str(args.epochs),
+            "SAVE_CHECKPOINTS", repr(list(range(1, args.epochs + 1)))]
+
+
+def launch(cmd, log_path: Path):
+    print("running:", " ".join(cmd), flush=True)
+    logf = open(log_path, "a")
+    return subprocess.Popen(cmd, cwd=REPO, stdout=logf, stderr=logf), logf
+
+
+def read_jsonl(path: Path) -> list:
+    if not path.exists():
+        return []
+    records = []
+    for line in path.read_text().splitlines():
+        try:
+            records.append(json.loads(line))
+        except json.JSONDecodeError:
+            pass  # mid-write tail line
+    return records
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--scene", type=int, default=1024)
+    p.add_argument("--epochs", type=int, default=3)
+    # 39 AOIs x 128 / batch 8 = 624 steps/epoch (>= 300, and gcd(624,100)=4
+    # so the auto scan-fusion plan can pick k>1 at production cadence)
+    p.add_argument("--multiplier", type=int, default=128)
+    p.add_argument("--log-freq", type=int, default=100)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--out-dir", default=None)
+    p.add_argument("--kill-timeout", type=float, default=7200,
+                   help="abort if the kill window never arrives (s)")
+    args = p.parse_args()
+
+    data = Path(args.data_dir or f"/tmp/lifecycle_ds{args.scene}")
+    out = Path(args.out_dir or f"/tmp/lifecycle_out{args.scene}")
+    out.mkdir(parents=True, exist_ok=True)
+    ensure_dataset(data, args.scene)
+
+    steps_per_epoch = (len(TRAIN) * args.multiplier) // args.batch
+    resume_epoch = args.epochs - 1
+    resume_step = resume_epoch * steps_per_epoch
+    # first LOG_FREQ multiple inside the final epoch: both runs log it
+    seam_step = ((resume_step // args.log_freq) + 1) * args.log_freq
+    assert seam_step < args.epochs * steps_per_epoch, \
+        "final epoch too short to contain a log window; raise --multiplier"
+
+    jsonl = out / "logs" / f"{CONFIG}.jsonl"
+    jsonl.unlink(missing_ok=True)
+    console = out / "console.log"
+    console.unlink(missing_ok=True)
+
+    base_cmd = [sys.executable, str(REPO / "train_supervised.py"),
+                "-c", CONFIG, "-p", "lifecycle", "-o", str(out),
+                "-d", str(data)] + overrides(args, steps_per_epoch)
+
+    # ---- phase A: train, then SIGKILL mid-final-epoch --------------------
+    t0 = time.time()
+    proc, logf = launch(base_cmd, console)
+    killed_at = None
+    try:
+        while True:
+            if proc.poll() is not None:
+                raise SystemExit(
+                    f"phase A exited rc={proc.returncode} before the kill "
+                    f"window (step {seam_step}) — see {console}")
+            steps = [r.get("step") for r in read_jsonl(jsonl)]
+            if any(s is not None and s >= seam_step for s in steps):
+                killed_at = max(s for s in steps if s is not None)
+                proc.send_signal(signal.SIGKILL)  # preemption stand-in
+                proc.wait()
+                break
+            if time.time() - t0 > args.kill_timeout:
+                proc.send_signal(signal.SIGKILL)
+                proc.wait()
+                raise SystemExit("phase A never reached the kill window")
+            time.sleep(5)
+    finally:
+        logf.close()
+    phase_a = read_jsonl(jsonl)
+    print(f"phase A: SIGKILLED after logging step {killed_at} "
+          f"({time.time() - t0:.0f} s in)", flush=True)
+    ckpt = out / "networks" / f"{CONFIG}_checkpoint{resume_epoch}.pt"
+    assert ckpt.exists(), f"epoch-{resume_epoch} checkpoint missing: {ckpt}"
+
+    # ---- phase B: resume from the epoch-(E-1) checkpoint ------------------
+    t1 = time.time()
+    proc, logf = launch(
+        base_cmd + ["TRAINER.RESUME_CHECKPOINT", str(resume_epoch)], console)
+    rc = proc.wait()
+    logf.close()
+    if rc:
+        raise SystemExit(f"phase B (resume) failed rc={rc} — see {console}")
+    print(f"phase B: resumed run finished ({time.time() - t1:.0f} s)",
+          flush=True)
+    records = read_jsonl(jsonl)
+    phase_b = records[len(phase_a):]
+
+    # ---- seam invisibility: both phases logged the seam window -----------
+    def pick(recs, step):
+        return [r for r in recs if r.get("step") == step]
+
+    # each log window writes several records at the same step (training F1,
+    # validation F1, window summary) — compare them pairwise in order
+    a_seam = pick(phase_a, seam_step)
+    b_seam = pick(phase_b, seam_step)
+    assert a_seam and len(a_seam) == len(b_seam), (
+        f"seam step {seam_step} record counts differ "
+        f"(A: {len(a_seam)}, B: {len(b_seam)})")
+    seam_diffs = {}
+    for ra, rb in zip(a_seam, b_seam):
+        assert set(ra) == set(rb), f"seam record keys differ: {ra} vs {rb}"
+        for key, va in ra.items():
+            vb = rb[key]
+            if isinstance(va, (int, float)) and isinstance(vb, (int, float)) \
+                    and key not in ("time", "train_time"):  # wall clocks
+                seam_diffs[key] = max(seam_diffs.get(key, 0.0), abs(va - vb))
+    bad = {k: d for k, d in seam_diffs.items() if d > 1e-6}
+    assert not bad, f"resume seam VISIBLE in metrics: {bad}"
+    print(f"seam check OK: step-{seam_step} records identical across "
+          f"kill+resume ({sorted(seam_diffs)})", flush=True)
+
+    # ---- steps/s vs bench -------------------------------------------------
+    train_times = [r["train_time"] for r in records
+                   if "train_time" in r and r.get("step", 0) > args.log_freq]
+    rates = [args.log_freq * args.batch / t for t in train_times]
+    rate = sorted(rates)[len(rates) // 2] if rates else float("nan")
+
+    # ---- offline assessment on the final artifact -------------------------
+    t2 = time.time()
+    assess_cmd = [sys.executable, str(REPO / "assessment_change.py"),
+                  "-c", CONFIG, "-o", str(out), "-d", str(data)] \
+        + overrides(args, steps_per_epoch) \
+        + ["INFERENCE_CHECKPOINT", str(args.epochs)]
+    r = subprocess.run(assess_cmd, cwd=REPO, capture_output=True, text=True)
+    print(r.stdout[-2000:], flush=True)
+    if r.returncode:
+        print(r.stderr[-3000:], flush=True)
+        raise SystemExit(f"offline assessment failed rc={r.returncode}")
+    print(f"offline assessment done ({time.time() - t2:.0f} s)", flush=True)
+
+    # ---- report ------------------------------------------------------------
+    def trajectory(recs):
+        return [{k: r.get(k) for k in
+                 ("step", "epoch", "training F1", "validation F1", "test F1",
+                  "loss", "train_time", "time") if k in r}
+                for r in recs
+                if any(f in r for f in
+                       ("training F1", "validation F1", "test F1"))]
+
+    report = {
+        "shape": {"scene": args.scene, "aois": [len(TRAIN), len(VAL),
+                                                len(TEST), len(UNLAB)],
+                  "steps_per_epoch": steps_per_epoch, "epochs": args.epochs,
+                  "log_freq": args.log_freq, "batch": args.batch},
+        "killed_after_step": killed_at, "resume_epoch": resume_epoch,
+        "seam_step": seam_step, "seam_max_abs_diff":
+            max(seam_diffs.values()) if seam_diffs else None,
+        "median_train_patches_per_sec": round(rate, 1),
+        "window_rates": [round(x, 1) for x in rates],
+        "assessment_tail": r.stdout.strip().splitlines()[-3:],
+        "trajectory": trajectory(records),
+    }
+    (out / "lifecycle_report.json").write_text(json.dumps(report, indent=1))
+    print(f"\nreport: {out / 'lifecycle_report.json'}")
+    print(f"median train rate {rate:.1f} patches/s "
+          f"(bench.py converged: ~333 on TPU)")
+    for t in report["trajectory"]:
+        f1s = ", ".join(f"{k}={t[k]:.4f}" for k in
+                        ("training F1", "validation F1", "test F1") if k in t)
+        print(f"  step {t.get('step'):>5} epoch {t.get('epoch'):.2f}  {f1s}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,5 +1,21 @@
-"""Pallas 3x3 stride-1 SAME convolution for the U-Net's full-resolution
-levels (experimental).
+"""ARCHIVED EXPERIMENT — Pallas 3x3 stride-1 SAME convolution (loses to XLA).
+
+Final verdict (round 4): NOT pursued further; moved out of the shipped
+package (was multimodal_siamese_cd_tpu/ops/conv3x3.py). The measured
+negative: 18.5 useful TF/s vs XLA's 22 at the 64ch@256px level. The
+docstring's own follow-up plan (native channels-last-128 activations
+end-to-end + fusing the second DoubleConv matmul while the packed operand
+is VMEM-resident) was overtaken by the STAGGERED packed layout
+(models/packed.py), which removed the bottleneck this kernel targeted:
+full-res convs now run at the 1.33x staggered-packing floor inside XLA,
+and the whole step is converged at ~24.2 ms (BASELINE.md). The residual
+theoretical upside (the 25% staggered-slot waste, <=1.4 ms) is smaller
+than the measured Pallas packing overhead that made this kernel lose by
+16% on a simpler task — recorded as a final negative result in
+BASELINE.md, kept here only as a worked example of manual double-buffered
+HBM DMA + tap-packed MXU matmuls (correctness pinned by
+tests/test_ops.py::test_pallas_conv3x3_matches_lax_conv in interpret
+mode).
 
 Motivation (BASELINE.md / CLAUDE.md perf notes): XLA's conv on v5e reaches
 only ~22 TFLOP/s for 64-channel 256px activations — the level where ~80% of
