@@ -82,6 +82,7 @@ def overrides(args, steps_per_epoch) -> list:
             "DATALOADER.TRAINING_MULTIPLIER", str(args.multiplier),
             "LOG_FREQ", str(args.log_freq),
             "TRAINER.EPOCHS", str(args.epochs),
+            "AUGMENTATION.CROP_SIZE", str(args.crop),
             "SAVE_CHECKPOINTS", repr(list(range(1, args.epochs + 1)))]
 
 
@@ -112,6 +113,9 @@ def main() -> int:
     p.add_argument("--multiplier", type=int, default=128)
     p.add_argument("--log-freq", type=int, default=100)
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--crop", type=int, default=256,
+                   help="AUGMENTATION.CROP_SIZE (production default 256; "
+                        "shrink for smoke runs with small scenes)")
     p.add_argument("--data-dir", default=None)
     p.add_argument("--out-dir", default=None)
     p.add_argument("--kill-timeout", type=float, default=7200,
@@ -141,28 +145,44 @@ def main() -> int:
                 "-d", str(data)] + overrides(args, steps_per_epoch)
 
     # ---- phase A: train, then SIGKILL mid-final-epoch --------------------
-    t0 = time.time()
-    proc, logf = launch(base_cmd, console)
+    # the tunneled TPU backend has observed transient stalls (>15 min) that
+    # trip the trainer's own wedge watchdog (rc=2); a pre-window abort is
+    # rig flakiness, not a framework failure — retry with a clean log
     killed_at = None
-    try:
-        while True:
-            if proc.poll() is not None:
-                raise SystemExit(
-                    f"phase A exited rc={proc.returncode} before the kill "
-                    f"window (step {seam_step}) — see {console}")
-            steps = [r.get("step") for r in read_jsonl(jsonl)]
-            if any(s is not None and s >= seam_step for s in steps):
-                killed_at = max(s for s in steps if s is not None)
-                proc.send_signal(signal.SIGKILL)  # preemption stand-in
-                proc.wait()
-                break
-            if time.time() - t0 > args.kill_timeout:
-                proc.send_signal(signal.SIGKILL)
-                proc.wait()
-                raise SystemExit("phase A never reached the kill window")
-            time.sleep(5)
-    finally:
-        logf.close()
+    for attempt in range(3):
+        jsonl.unlink(missing_ok=True)
+        t0 = time.time()
+        proc, logf = launch(base_cmd, console)
+        try:
+            while True:
+                if proc.poll() is not None:
+                    print(f"phase A attempt {attempt + 1} exited "
+                          f"rc={proc.returncode} before the kill window "
+                          f"(step {seam_step}) — see {console}", flush=True)
+                    break
+                # wait for the WINDOW SUMMARY record (train_time key): it is
+                # written after the window's training/validation F1 records,
+                # so the seam step's full record triplet is on disk before
+                # the kill
+                steps = [r.get("step") for r in read_jsonl(jsonl)
+                         if "train_time" in r]
+                if any(s is not None and s >= seam_step for s in steps):
+                    killed_at = max(s for s in steps if s is not None)
+                    proc.send_signal(signal.SIGKILL)  # preemption stand-in
+                    proc.wait()
+                    break
+                if time.time() - t0 > args.kill_timeout:
+                    proc.send_signal(signal.SIGKILL)
+                    proc.wait()
+                    raise SystemExit("phase A never reached the kill window")
+                time.sleep(5)
+        finally:
+            logf.close()
+        if killed_at is not None:
+            break
+    else:
+        raise SystemExit("phase A failed before the kill window on all "
+                         f"attempts — see {console}")
     phase_a = read_jsonl(jsonl)
     print(f"phase A: SIGKILLED after logging step {killed_at} "
           f"({time.time() - t0:.0f} s in)", flush=True)
@@ -170,13 +190,23 @@ def main() -> int:
     assert ckpt.exists(), f"epoch-{resume_epoch} checkpoint missing: {ckpt}"
 
     # ---- phase B: resume from the epoch-(E-1) checkpoint ------------------
-    t1 = time.time()
-    proc, logf = launch(
-        base_cmd + ["TRAINER.RESUME_CHECKPOINT", str(resume_epoch)], console)
-    rc = proc.wait()
-    logf.close()
-    if rc:
-        raise SystemExit(f"phase B (resume) failed rc={rc} — see {console}")
+    # same transient-wedge tolerance: restore the log to the phase-A
+    # snapshot before each attempt so records never duplicate
+    jsonl_a_bytes = jsonl.read_bytes()
+    for attempt in range(3):
+        jsonl.write_bytes(jsonl_a_bytes)
+        t1 = time.time()
+        proc, logf = launch(
+            base_cmd + ["TRAINER.RESUME_CHECKPOINT", str(resume_epoch)],
+            console)
+        rc = proc.wait()
+        logf.close()
+        if rc == 0:
+            break
+        print(f"phase B attempt {attempt + 1} failed rc={rc} — see "
+              f"{console}", flush=True)
+    else:
+        raise SystemExit(f"phase B (resume) failed on all attempts")
     print(f"phase B: resumed run finished ({time.time() - t1:.0f} s)",
           flush=True)
     records = read_jsonl(jsonl)
@@ -199,7 +229,8 @@ def main() -> int:
         for key, va in ra.items():
             vb = rb[key]
             if isinstance(va, (int, float)) and isinstance(vb, (int, float)) \
-                    and key not in ("time", "train_time"):  # wall clocks
+                    and key not in ("time", "train_time") \
+                    and not key.startswith("_"):  # wall clocks, sink stamps
                 seam_diffs[key] = max(seam_diffs.get(key, 0.0), abs(va - vb))
     bad = {k: d for k, d in seam_diffs.items() if d > 1e-6}
     assert not bad, f"resume seam VISIBLE in metrics: {bad}"
