@@ -37,7 +37,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def build_step(cfg_overrides, crop, batch, regime="supervised"):
+def build_step(cfg_overrides, crop, batch, regime="supervised", mesh=None):
     import jax
 
     from multimodal_siamese_cd_tpu import train_lib
@@ -51,24 +51,50 @@ def build_step(cfg_overrides, crop, batch, regime="supervised"):
         cfg.DATALOADER.INCLUDE_UNLABELED = True
     cfg.merge_from_list([str(x) for x in cfg_overrides])
     model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
-    step = train_lib.make_train_step(model, cfg, regime, mesh=None)
+    step = train_lib.make_train_step(model, cfg, regime, mesh=mesh)
     return step, state
 
 
-def analyze(label, overrides, crop, batch, regime):
+def topology_mesh(topology: str, spatial_shards: int):
+    """A device mesh over an UNATTACHED TPU topology (jax.experimental
+    .topologies) — lets the 1-chip rig AOT-compile multi-chip shardings
+    (e.g. TRAINER.SPATIAL_SHARDS) and read their memory analysis."""
+    from jax.experimental import topologies
+
+    from multimodal_siamese_cd_tpu.parallel import data_mesh, data_space_mesh
+
+    td = topologies.get_topology_desc(platform="tpu", topology_name=topology)
+    devices = list(td.devices)
+    if spatial_shards > 1:
+        return data_space_mesh(spatial_shards, devices)
+    return data_mesh(devices)
+
+
+def analyze(label, overrides, crop, batch, regime, mesh=None):
     import jax
 
-    step, state = build_step(overrides, crop, batch, regime)
-    host = np.random.default_rng(0)
-    # f16: the PRODUCTION wire format the loader ships (loader.collate —
-    # half the bytes); an f32 stack would inflate argument_size by 2x and
-    # compile a different convert graph than the training step actually runs
-    stack = host.uniform(0, 1, (batch, 15, crop, crop)).astype(np.float16)
-    stack[:, 12:] = (stack[:, 12:] > 0.8).astype(np.float16)
-    lab = np.ones((batch,), np.float32)
+    step, state = build_step(overrides, crop, batch, regime, mesh=mesh)
+    if mesh is not None:
+        # AOT against an unattached topology: lower with shape structs (the
+        # jitted step carries its own in_shardings over the topology mesh);
+        # per-device temp/argument sizes come back from the AOT executable
+        state = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+            state)
+        stack = jax.ShapeDtypeStruct((batch, 15, crop, crop), np.float16)
+        lab = jax.ShapeDtypeStruct((batch,), np.float32)
+        rng = jax.ShapeDtypeStruct((2,), np.uint32)
+    else:
+        host = np.random.default_rng(0)
+        # f16: the PRODUCTION wire format the loader ships (loader.collate —
+        # half the bytes); an f32 stack would inflate argument_size by 2x
+        # and compile a different convert graph than the training step runs
+        stack = host.uniform(0, 1, (batch, 15, crop, crop)).astype(np.float16)
+        stack[:, 12:] = (stack[:, 12:] > 0.8).astype(np.float16)
+        lab = np.ones((batch,), np.float32)
+        rng = jax.random.PRNGKey(3)
     try:
-        compiled = step.lower(state, stack, lab,
-                              jax.random.PRNGKey(3)).compile()
+        compiled = step.lower(state, stack, lab, rng).compile()
     except jax.errors.JaxRuntimeError as e:
         # XLA:TPU refuses to compile a program whose buffer assignment
         # exceeds HBM ("Ran out of memory in memory space hbm" — on the
@@ -109,6 +135,14 @@ def main():
                     choices=("supervised", "dualtask", "semisupervised"))
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (advisory numbers)")
+    ap.add_argument("--topology", default=None,
+                    help="AOT-compile against an unattached TPU topology "
+                         "(e.g. 'v5e-4') — enables multi-chip points like "
+                         "SPATIAL_SHARDS on a 1-chip rig; sizes are "
+                         "PER-DEVICE")
+    ap.add_argument("--spatial-shards", type=int, default=1,
+                    help="with --topology: shard the crop height over this "
+                         "many devices (2-D data x space mesh)")
     ap.add_argument("--wedge-timeout", type=float, default=600.0,
                     help="abort if no backend exists after this many seconds")
     args = ap.parse_args()
@@ -134,19 +168,32 @@ def main():
              " run on TPU for honest numbers)" if backend == "cpu" else ""),
         file=sys.stderr, flush=True)
 
-    base = analyze("plain", [], args.crop, args.batch, args.regime)
-    remat = analyze("remat", ["MODEL.REMAT", "True"],
-                    args.crop, args.batch, args.regime)
+    mesh = None
+    extra = []
+    if args.topology:
+        mesh = topology_mesh(args.topology, args.spatial_shards)
+        if args.spatial_shards > 1:
+            extra = ["TRAINER.SPATIAL_SHARDS", str(args.spatial_shards)]
+        print(f"# AOT topology {args.topology}, mesh {dict(mesh.shape)} "
+              f"(per-device sizes)", file=sys.stderr, flush=True)
+
+    base = analyze("plain", extra, args.crop, args.batch, args.regime,
+                   mesh=mesh)
+    remat = analyze("remat", extra + ["MODEL.REMAT", "True"],
+                    args.crop, args.batch, args.regime, mesh=mesh)
     accum = analyze(f"grad_accum_{args.grad_accum}",
-                    ["TRAINER.GRAD_ACCUM", str(args.grad_accum)],
-                    args.crop, args.batch, args.regime)
+                    extra + ["TRAINER.GRAD_ACCUM", str(args.grad_accum)],
+                    args.crop, args.batch, args.regime, mesh=mesh)
     both = analyze(f"remat+grad_accum_{args.grad_accum}",
-                   ["MODEL.REMAT", "True",
-                    "TRAINER.GRAD_ACCUM", str(args.grad_accum)],
-                   args.crop, args.batch, args.regime)
+                   extra + ["MODEL.REMAT", "True",
+                            "TRAINER.GRAD_ACCUM", str(args.grad_accum)],
+                   args.crop, args.batch, args.regime, mesh=mesh)
 
     summary = {"metric": "remat_memory", "backend": backend,
                "crop": args.crop, "batch": args.batch, "regime": args.regime}
+    if args.topology:
+        summary["topology"] = args.topology
+        summary["mesh"] = dict(mesh.shape)
     base_temp = base.get("temp_mib") if base else None
     if base:
         summary["plain_temp_mib"] = base_temp if base_temp is not None \

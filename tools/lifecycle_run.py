@@ -37,7 +37,16 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-CONFIG = "siamese"  # supervised headline config
+# regime -> (trainer CLI, headline config, trains on unlabeled AOIs too) —
+# config choice mirrors tools/convergence_run.py
+REGIMES = {
+    "supervised": ("train_supervised.py", "siamese", False),
+    "dualtask": ("train_supervised_dualtask.py", "dtsiamese", False),
+    # alpha0500: supervised factor 0.5 (mmcr_base is consistency-only and
+    # cannot learn change labels by design)
+    "semisupervised": ("train_semisupervised.py", "siamese_mmcr_alpha0500",
+                       True),
+}
 
 TRAIN = [f"L15-lftrain{i}" for i in range(39)]
 VAL = [f"L15-lfval{i}" for i in range(9)]
@@ -106,6 +115,7 @@ def read_jsonl(path: Path) -> list:
 
 def main() -> int:
     p = argparse.ArgumentParser()
+    p.add_argument("--regime", choices=sorted(REGIMES), default="supervised")
     p.add_argument("--scene", type=int, default=1024)
     p.add_argument("--epochs", type=int, default=3)
     # 39 AOIs x 128 / batch 8 = 624 steps/epoch (>= 300, and gcd(624,100)=4
@@ -122,12 +132,14 @@ def main() -> int:
                    help="abort if the kill window never arrives (s)")
     args = p.parse_args()
 
+    script, config, with_unlabeled = REGIMES[args.regime]
     data = Path(args.data_dir or f"/tmp/lifecycle_ds{args.scene}")
-    out = Path(args.out_dir or f"/tmp/lifecycle_out{args.scene}")
+    out = Path(args.out_dir or f"/tmp/lifecycle_out{args.scene}_{args.regime}")
     out.mkdir(parents=True, exist_ok=True)
     ensure_dataset(data, args.scene)
 
-    steps_per_epoch = (len(TRAIN) * args.multiplier) // args.batch
+    n_train_aois = len(TRAIN) + (len(UNLAB) if with_unlabeled else 0)
+    steps_per_epoch = (n_train_aois * args.multiplier) // args.batch
     resume_epoch = args.epochs - 1
     resume_step = resume_epoch * steps_per_epoch
     # first LOG_FREQ multiple inside the final epoch: both runs log it
@@ -135,13 +147,13 @@ def main() -> int:
     assert seam_step < args.epochs * steps_per_epoch, \
         "final epoch too short to contain a log window; raise --multiplier"
 
-    jsonl = out / "logs" / f"{CONFIG}.jsonl"
+    jsonl = out / "logs" / f"{config}.jsonl"
     jsonl.unlink(missing_ok=True)
     console = out / "console.log"
     console.unlink(missing_ok=True)
 
-    base_cmd = [sys.executable, str(REPO / "train_supervised.py"),
-                "-c", CONFIG, "-p", "lifecycle", "-o", str(out),
+    base_cmd = [sys.executable, str(REPO / script),
+                "-c", config, "-p", "lifecycle", "-o", str(out),
                 "-d", str(data)] + overrides(args, steps_per_epoch)
 
     # ---- phase A: train, then SIGKILL mid-final-epoch --------------------
@@ -186,7 +198,7 @@ def main() -> int:
     phase_a = read_jsonl(jsonl)
     print(f"phase A: SIGKILLED after logging step {killed_at} "
           f"({time.time() - t0:.0f} s in)", flush=True)
-    ckpt = out / "networks" / f"{CONFIG}_checkpoint{resume_epoch}.pt"
+    ckpt = out / "networks" / f"{config}_checkpoint{resume_epoch}.pt"
     assert ckpt.exists(), f"epoch-{resume_epoch} checkpoint missing: {ckpt}"
 
     # ---- phase B: resume from the epoch-(E-1) checkpoint ------------------
@@ -246,7 +258,7 @@ def main() -> int:
     # ---- offline assessment on the final artifact -------------------------
     t2 = time.time()
     assess_cmd = [sys.executable, str(REPO / "assessment_change.py"),
-                  "-c", CONFIG, "-o", str(out), "-d", str(data)] \
+                  "-c", config, "-o", str(out), "-d", str(data)] \
         + overrides(args, steps_per_epoch) \
         + ["INFERENCE_CHECKPOINT", str(args.epochs)]
     r = subprocess.run(assess_cmd, cwd=REPO, capture_output=True, text=True)
