@@ -122,7 +122,9 @@ def main() -> int:
     # so the auto scan-fusion plan can pick k>1 at production cadence)
     p.add_argument("--multiplier", type=int, default=128)
     p.add_argument("--log-freq", type=int, default=100)
-    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--batch", type=int, default=None,
+                   help="override TRAINER.BATCH_SIZE (default: the regime "
+                        "config's own value — semisup configs pin 4, not 8)")
     p.add_argument("--crop", type=int, default=256,
                    help="AUGMENTATION.CROP_SIZE (production default 256; "
                         "shrink for smoke runs with small scenes)")
@@ -138,8 +140,17 @@ def main() -> int:
     out.mkdir(parents=True, exist_ok=True)
     ensure_dataset(data, args.scene)
 
+    # batch size comes from the regime's CONFIG, not an assumption — the
+    # semisup experiment grid pins TRAINER.BATCH_SIZE 4 (the round-4 first
+    # semisup attempt assumed 8, predicted half the real epoch length, and
+    # SIGKILLed an epoch too early)
+    from multimodal_siamese_cd_tpu.config import load_cfg
+    batch = args.batch or load_cfg(config).TRAINER.BATCH_SIZE
+
     n_train_aois = len(TRAIN) + (len(UNLAB) if with_unlabeled else 0)
-    steps_per_epoch = (n_train_aois * args.multiplier) // args.batch
+    steps_per_epoch = (n_train_aois * args.multiplier) // batch
+    print(f"regime {args.regime}: batch {batch}, "
+          f"{steps_per_epoch} steps/epoch x {args.epochs} epochs", flush=True)
     resume_epoch = args.epochs - 1
     resume_step = resume_epoch * steps_per_epoch
     # first LOG_FREQ multiple inside the final epoch: both runs log it
@@ -155,6 +166,8 @@ def main() -> int:
     base_cmd = [sys.executable, str(REPO / script),
                 "-c", config, "-p", "lifecycle", "-o", str(out),
                 "-d", str(data)] + overrides(args, steps_per_epoch)
+    if args.batch is not None:
+        base_cmd += ["TRAINER.BATCH_SIZE", str(args.batch)]
 
     # ---- phase A: train, then SIGKILL mid-final-epoch --------------------
     # the tunneled TPU backend has observed transient stalls (>15 min) that
@@ -252,7 +265,7 @@ def main() -> int:
     # ---- steps/s vs bench -------------------------------------------------
     train_times = [r["train_time"] for r in records
                    if "train_time" in r and r.get("step", 0) > args.log_freq]
-    rates = [args.log_freq * args.batch / t for t in train_times]
+    rates = [args.log_freq * batch / t for t in train_times]
     rate = sorted(rates)[len(rates) // 2] if rates else float("nan")
 
     # ---- offline assessment on the final artifact -------------------------
@@ -281,7 +294,8 @@ def main() -> int:
         "shape": {"scene": args.scene, "aois": [len(TRAIN), len(VAL),
                                                 len(TEST), len(UNLAB)],
                   "steps_per_epoch": steps_per_epoch, "epochs": args.epochs,
-                  "log_freq": args.log_freq, "batch": args.batch},
+                  "log_freq": args.log_freq, "batch": batch,
+                  "multiplier": args.multiplier},
         "killed_after_step": killed_at, "resume_epoch": resume_epoch,
         "seam_step": seam_step, "seam_max_abs_diff":
             max(seam_diffs.values()) if seam_diffs else None,
