@@ -146,6 +146,35 @@ def test_log_window_records_time_and_train_time(cfg, tmp_path):
         assert set(w["step"] for w in windows) <= set(steps), (split, lines)
 
 
+def test_lifecycle_plan_uses_config_batch():
+    """tools/lifecycle_run.py must derive its kill/seam schedule from the
+    regime CONFIG's batch size — the semisup experiment grid pins
+    TRAINER.BATCH_SIZE 4, so its epoch is twice what a batch-8 assumption
+    predicts (the round-4 first semisup attempt SIGKILLed an epoch early)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    try:
+        import lifecycle_run
+    finally:
+        sys.path.pop(0)
+
+    sup = lifecycle_run.plan("supervised", 128, 100, 3)
+    assert sup == {"batch": 8, "steps_per_epoch": 624,
+                   "resume_epoch": 2, "seam_step": 1300}
+    semi = lifecycle_run.plan("semisupervised", 128, 100, 3)
+    # 59 train AOIs (39 labeled + 20 unlabeled) x 128 / batch 4
+    assert semi == {"batch": 4, "steps_per_epoch": 1888,
+                    "resume_epoch": 2, "seam_step": 3800}
+    # explicit --batch overrides the config value
+    assert lifecycle_run.plan("semisupervised", 128, 100, 3,
+                              batch=8)["steps_per_epoch"] == 944
+    # the seam window must exist inside the final epoch
+    with pytest.raises(AssertionError):
+        lifecycle_run.plan("supervised", 2, 100, 3)  # 9-step epochs
+
+
 def test_jsonl_logging_sink(tmp_path):
     wandb_compat.init("runx", config={"A": 1}, mode="jsonl", out_dir=tmp_path)
     wandb_compat.log({"loss": 0.5, "step": 1})

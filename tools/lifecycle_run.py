@@ -95,6 +95,32 @@ def overrides(args, steps_per_epoch) -> list:
             "SAVE_CHECKPOINTS", repr(list(range(1, args.epochs + 1)))]
 
 
+def plan(regime: str, multiplier: int, log_freq: int, epochs: int,
+         batch: int | None = None) -> dict:
+    """Derive the run plan from the REGIME'S CONFIG, not assumptions.
+
+    Batch size comes from the experiment grid (the semisup configs pin
+    TRAINER.BATCH_SIZE 4, not base.yaml's 8 — the round-4 first semisup
+    attempt assumed 8, predicted half the real epoch length, and SIGKILLed
+    an epoch too early); semisup epochs also count the 20 unlabeled AOIs.
+    Unit-tested in tests/test_aux.py.
+    """
+    from multimodal_siamese_cd_tpu.config import load_cfg
+
+    _, config, with_unlabeled = REGIMES[regime]
+    batch = batch or load_cfg(config).TRAINER.BATCH_SIZE
+    n_train_aois = len(TRAIN) + (len(UNLAB) if with_unlabeled else 0)
+    steps_per_epoch = (n_train_aois * multiplier) // batch
+    resume_epoch = epochs - 1
+    resume_step = resume_epoch * steps_per_epoch
+    # first LOG_FREQ multiple inside the final epoch: both runs log it
+    seam_step = ((resume_step // log_freq) + 1) * log_freq
+    assert seam_step < epochs * steps_per_epoch, \
+        "final epoch too short to contain a log window; raise --multiplier"
+    return {"batch": batch, "steps_per_epoch": steps_per_epoch,
+            "resume_epoch": resume_epoch, "seam_step": seam_step}
+
+
 def launch(cmd, log_path: Path):
     print("running:", " ".join(cmd), flush=True)
     logf = open(log_path, "a")
@@ -140,23 +166,14 @@ def main() -> int:
     out.mkdir(parents=True, exist_ok=True)
     ensure_dataset(data, args.scene)
 
-    # batch size comes from the regime's CONFIG, not an assumption — the
-    # semisup experiment grid pins TRAINER.BATCH_SIZE 4 (the round-4 first
-    # semisup attempt assumed 8, predicted half the real epoch length, and
-    # SIGKILLed an epoch too early)
-    from multimodal_siamese_cd_tpu.config import load_cfg
-    batch = args.batch or load_cfg(config).TRAINER.BATCH_SIZE
-
-    n_train_aois = len(TRAIN) + (len(UNLAB) if with_unlabeled else 0)
-    steps_per_epoch = (n_train_aois * args.multiplier) // batch
+    run_plan = plan(args.regime, args.multiplier, args.log_freq, args.epochs,
+                    batch=args.batch)
+    batch = run_plan["batch"]
+    steps_per_epoch = run_plan["steps_per_epoch"]
+    resume_epoch = run_plan["resume_epoch"]
+    seam_step = run_plan["seam_step"]
     print(f"regime {args.regime}: batch {batch}, "
           f"{steps_per_epoch} steps/epoch x {args.epochs} epochs", flush=True)
-    resume_epoch = args.epochs - 1
-    resume_step = resume_epoch * steps_per_epoch
-    # first LOG_FREQ multiple inside the final epoch: both runs log it
-    seam_step = ((resume_step // args.log_freq) + 1) * args.log_freq
-    assert seam_step < args.epochs * steps_per_epoch, \
-        "final epoch too short to contain a log window; raise --multiplier"
 
     jsonl = out / "logs" / f"{config}.jsonl"
     jsonl.unlink(missing_ok=True)
