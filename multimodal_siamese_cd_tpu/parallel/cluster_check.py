@@ -149,7 +149,19 @@ def launch_cluster(local_devices, fixture_dir, repo_root, timeout=600):
          str(pid), str(port), str(local_devices), str(fixture_dir)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         env=env, cwd=str(repo_root)) for pid in range(2)]
-    results = [p.communicate(timeout=timeout) for p in procs]
+    results = []
+    for p in procs:
+        try:
+            results.append(p.communicate(timeout=timeout))
+        except subprocess.TimeoutExpired:
+            # a hung worker (coordinator port race, wedged backend) must
+            # surface as a nonzero rc so the callers' retry loops engage —
+            # and BOTH workers must be reaped (the peer blocks on the same
+            # coordinator), not left orphaned on this 1-CPU host
+            for q in procs:
+                if q.poll() is None:
+                    q.kill()
+            results.append(p.communicate())
     return [p.returncode for p in procs], results
 
 

@@ -62,6 +62,22 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.fast)
 
 
+def import_tool(name: str):
+    """Import ``tools/<name>.py`` by file path WITHOUT mutating sys.path.
+
+    Inserting tools/ at sys.path[0] (the obvious alternative) leaks for the
+    rest of the pytest session: any later bare import matching a tools/*.py
+    name would silently resolve to the tool module.
+    """
+    import importlib.util
+
+    path = REPO_ROOT / "tools" / f"{name}.py"
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 @pytest.fixture(scope="session")
 def repo_root() -> Path:
     return REPO_ROOT

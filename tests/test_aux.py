@@ -151,14 +151,9 @@ def test_lifecycle_plan_uses_config_batch():
     regime CONFIG's batch size — the semisup experiment grid pins
     TRAINER.BATCH_SIZE 4, so its epoch is twice what a batch-8 assumption
     predicts (the round-4 first semisup attempt SIGKILLed an epoch early)."""
-    import sys
-    from pathlib import Path
+    from conftest import import_tool
 
-    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
-    try:
-        import lifecycle_run
-    finally:
-        sys.path.pop(0)
+    lifecycle_run = import_tool("lifecycle_run")
 
     sup = lifecycle_run.plan("supervised", 128, 100, 3)
     assert sup == {"batch": 8, "steps_per_epoch": 624,
@@ -173,6 +168,20 @@ def test_lifecycle_plan_uses_config_batch():
     # the seam window must exist inside the final epoch
     with pytest.raises(AssertionError):
         lifecycle_run.plan("supervised", 2, 100, 3)  # 9-step epochs
+
+    # window_rates counts each window's REAL step coverage: the trainer's
+    # train_time accumulator resets at epoch starts too, so an epoch-first
+    # window covers fewer than LOG_FREQ steps; each phase's first window
+    # (jit compile) is dropped
+    recs = [{"step": s, "train_time": 10.0}
+            for s in (100, 200, 300, 400, 500)]
+    # steps/epoch 312: the step-400 window only covers 400-312=88 steps
+    assert lifecycle_run.window_rates(recs, 312, 8) == \
+        [80.0, 80.0, 8 * 88 / 10.0, 80.0]
+    # post-resume phase counts from the resume step and drops its first
+    # (recompile-contaminated) window
+    b = [{"step": s, "train_time": 10.0} for s in (700, 800)]
+    assert lifecycle_run.window_rates(b, 312, 8, start_step=624) == [80.0]
 
 
 def test_jsonl_logging_sink(tmp_path):

@@ -48,17 +48,14 @@ def test_pallas_conv3x3_matches_lax_conv():
     # archived experiment (tools/pallas_conv3x3_experiment.py — final
     # negative, see BASELINE.md); the correctness pin stays so the worked
     # DMA/tap-pack example keeps compiling in interpret mode
-    import sys
-    from pathlib import Path
-
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
-    from pallas_conv3x3_experiment import (
-        conv3x3_pallas,
-        conv3x3_reference,
-    )
+    from conftest import import_tool
+
+    mod = import_tool("pallas_conv3x3_experiment")
+    conv3x3_pallas, conv3x3_reference = (mod.conv3x3_pallas,
+                                         mod.conv3x3_reference)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(size=(2, 32, 64, 128)), jnp.float32)

@@ -50,7 +50,18 @@ def build_step(cfg_overrides, crop, batch, regime="supervised", mesh=None):
     if regime == "semisupervised":
         cfg.DATALOADER.INCLUDE_UNLABELED = True
     cfg.merge_from_list([str(x) for x in cfg_overrides])
-    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    if mesh is not None:
+        # AOT-against-topology mode: build the state ABSTRACTLY. The jitted
+        # step only needs avals to lower, and touching the attached backend
+        # here would both pay the ~100 s cold axon dispatch (CLAUDE.md) and
+        # materialize every param on a device this compile never uses.
+        model = train_lib.create_network(cfg)
+        state = jax.eval_shape(
+            lambda rng: train_lib.create_train_state(cfg, rng)[1],
+            jax.ShapeDtypeStruct((2,), np.uint32))
+    else:
+        model, state = train_lib.create_train_state(
+            cfg, jax.random.PRNGKey(0))
     step = train_lib.make_train_step(model, cfg, regime, mesh=mesh)
     return step, state
 
@@ -75,12 +86,10 @@ def analyze(label, overrides, crop, batch, regime, mesh=None):
 
     step, state = build_step(overrides, crop, batch, regime, mesh=mesh)
     if mesh is not None:
-        # AOT against an unattached topology: lower with shape structs (the
-        # jitted step carries its own in_shardings over the topology mesh);
-        # per-device temp/argument sizes come back from the AOT executable
-        state = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
-            state)
+        # AOT against an unattached topology: build_step returned shape
+        # structs (the jitted step carries its own in_shardings over the
+        # topology mesh); per-device temp/argument sizes come back from the
+        # AOT executable
         stack = jax.ShapeDtypeStruct((batch, 15, crop, crop), np.float16)
         lab = jax.ShapeDtypeStruct((batch,), np.float32)
         rng = jax.ShapeDtypeStruct((2,), np.uint32)
@@ -161,8 +170,16 @@ def main():
             os._exit(2)
 
     threading.Thread(target=watch, daemon=True).start()
-    backend = jax.default_backend()
-    backend_up.set()
+    if args.topology and not args.cpu:
+        # pure AOT against an unattached topology: the analysis never
+        # touches the attached backend (build_step returns abstract state),
+        # so don't probe it — a default_backend() call here would pay the
+        # ~100 s axon warmup and wedge outright when the tunnel is down
+        backend = f"aot:{args.topology}"
+        backend_up.set()
+    else:
+        backend = jax.default_backend()
+        backend_up.set()
     print(f"# backend={backend}"
           + ("  (ADVISORY: XLA:CPU analysis is not memory-scheduling-aware;"
              " run on TPU for honest numbers)" if backend == "cpu" else ""),

@@ -83,7 +83,7 @@ def ensure_dataset(root: Path, scene: int) -> None:
     print(f"dataset generated in {time.time() - t0:.0f} s", flush=True)
 
 
-def overrides(args, steps_per_epoch) -> list:
+def overrides(args) -> list:
     return ["DATASET.TRAINING_IDS", repr(TRAIN),
             "DATASET.VALIDATION_IDS", repr(VAL),
             "DATASET.TEST_IDS", repr(TEST),
@@ -127,16 +127,45 @@ def launch(cmd, log_path: Path):
     return subprocess.Popen(cmd, cwd=REPO, stdout=logf, stderr=logf), logf
 
 
-def read_jsonl(path: Path) -> list:
-    if not path.exists():
-        return []
+def parse_jsonl(text: str) -> list:
     records = []
-    for line in path.read_text().splitlines():
+    for line in text.splitlines():
         try:
             records.append(json.loads(line))
         except json.JSONDecodeError:
             pass  # mid-write tail line
     return records
+
+
+def read_jsonl(path: Path) -> list:
+    return parse_jsonl(path.read_text()) if path.exists() else []
+
+
+def window_rates(recs, steps_per_epoch, batch, start_step=0):
+    """Per-window patches/s with HONEST step counts.
+
+    A window summary at step ``s`` covers the steps since
+    ``max(previous summary, epoch start)`` — the trainer's train_time
+    accumulator resets at epoch starts as well as after each window
+    (trainers.py _run_epochs), so dividing every window by LOG_FREQ
+    undercounts epoch-first windows. The first window of each phase is
+    dropped outright: it includes the jit compile (~3-5 min on the
+    tunneled TPU).
+    """
+    rates, prev, first = [], start_step, True
+    for r in recs:
+        if "train_time" not in r or r.get("step") is None:
+            continue
+        s = r["step"]
+        epoch_start = ((s - 1) // steps_per_epoch) * steps_per_epoch
+        n = s - max(prev, epoch_start)
+        prev = s
+        if first:
+            first = False
+            continue
+        if n > 0 and r["train_time"] > 0:
+            rates.append(n * batch / r["train_time"])
+    return rates
 
 
 def main() -> int:
@@ -182,7 +211,7 @@ def main() -> int:
 
     base_cmd = [sys.executable, str(REPO / script),
                 "-c", config, "-p", "lifecycle", "-o", str(out),
-                "-d", str(data)] + overrides(args, steps_per_epoch)
+                "-d", str(data)] + overrides(args)
     if args.batch is not None:
         base_cmd += ["TRAINER.BATCH_SIZE", str(args.batch)]
 
@@ -198,6 +227,18 @@ def main() -> int:
         try:
             while True:
                 if proc.poll() is not None:
+                    # re-read the log BEFORE classifying the exit: a short
+                    # run can log the seam window and finish inside one
+                    # 5-s poll gap, which is not a pre-window abort — it
+                    # means the seam sits too close to the end to kill
+                    steps = [r.get("step") for r in read_jsonl(jsonl)
+                             if "train_time" in r]
+                    if any(s is not None and s >= seam_step for s in steps):
+                        raise SystemExit(
+                            "phase A FINISHED before the SIGKILL could land "
+                            f"(seam step {seam_step} too close to the run's "
+                            "end for the 5 s poll) — raise --multiplier so "
+                            "the final epoch extends past the seam window")
                     print(f"phase A attempt {attempt + 1} exited "
                           f"rc={proc.returncode} before the kill window "
                           f"(step {seam_step}) — see {console}", flush=True)
@@ -225,7 +266,13 @@ def main() -> int:
     else:
         raise SystemExit("phase A failed before the kill window on all "
                          f"attempts — see {console}")
-    phase_a = read_jsonl(jsonl)
+    # SIGKILL can land mid-write: drop any partial trailing line now so
+    # phase B's first appended record never splices onto it, and parse
+    # phase A from the SAME truncated bytes so the record counts line up
+    raw_a = jsonl.read_bytes()
+    nl = raw_a.rfind(b"\n")
+    jsonl_a_bytes = raw_a[:nl + 1] if nl >= 0 else b""
+    phase_a = parse_jsonl(jsonl_a_bytes.decode())
     print(f"phase A: SIGKILLED after logging step {killed_at} "
           f"({time.time() - t0:.0f} s in)", flush=True)
     ckpt = out / "networks" / f"{config}_checkpoint{resume_epoch}.pt"
@@ -234,7 +281,6 @@ def main() -> int:
     # ---- phase B: resume from the epoch-(E-1) checkpoint ------------------
     # same transient-wedge tolerance: restore the log to the phase-A
     # snapshot before each attempt so records never duplicate
-    jsonl_a_bytes = jsonl.read_bytes()
     for attempt in range(3):
         jsonl.write_bytes(jsonl_a_bytes)
         t1 = time.time()
@@ -280,16 +326,16 @@ def main() -> int:
           f"kill+resume ({sorted(seam_diffs)})", flush=True)
 
     # ---- steps/s vs bench -------------------------------------------------
-    train_times = [r["train_time"] for r in records
-                   if "train_time" in r and r.get("step", 0) > args.log_freq]
-    rates = [args.log_freq * batch / t for t in train_times]
+    rates = (window_rates(phase_a, steps_per_epoch, batch)
+             + window_rates(phase_b, steps_per_epoch, batch,
+                            start_step=resume_epoch * steps_per_epoch))
     rate = sorted(rates)[len(rates) // 2] if rates else float("nan")
 
     # ---- offline assessment on the final artifact -------------------------
     t2 = time.time()
     assess_cmd = [sys.executable, str(REPO / "assessment_change.py"),
                   "-c", config, "-o", str(out), "-d", str(data)] \
-        + overrides(args, steps_per_epoch) \
+        + overrides(args) \
         + ["INFERENCE_CHECKPOINT", str(args.epochs)]
     r = subprocess.run(assess_cmd, cwd=REPO, capture_output=True, text=True)
     print(r.stdout[-2000:], flush=True)
