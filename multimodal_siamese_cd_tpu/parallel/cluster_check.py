@@ -132,9 +132,15 @@ def launch_cluster(local_devices, fixture_dir, repo_root, timeout=600):
     Picks a free coordinator port (bind-then-close — racy, so callers retry
     once on failure), strips the pinned XLA_FLAGS / JAX_PLATFORMS from the
     child env, and runs each worker with the repo root on its import path.
+
+    ``timeout`` bounds the WHOLE launch (one shared deadline, not one
+    budget per worker): callers with their own wall-clock budget — the
+    dryrun runs inside test_cli's 900 s subprocess cap — size it so a hung
+    worker plus one retry still fits.
     """
     import socket
     import subprocess
+    import time
 
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -149,10 +155,12 @@ def launch_cluster(local_devices, fixture_dir, repo_root, timeout=600):
          str(pid), str(port), str(local_devices), str(fixture_dir)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         env=env, cwd=str(repo_root)) for pid in range(2)]
+    deadline = time.monotonic() + timeout
     results = []
     for p in procs:
         try:
-            results.append(p.communicate(timeout=timeout))
+            results.append(
+                p.communicate(timeout=max(1.0, deadline - time.monotonic())))
         except subprocess.TimeoutExpired:
             # a hung worker (coordinator port race, wedged backend) must
             # surface as a nonzero rc so the callers' retry loops engage —
@@ -163,6 +171,51 @@ def launch_cluster(local_devices, fixture_dir, repo_root, timeout=600):
                     q.kill()
             results.append(p.communicate())
     return [p.returncode for p in procs], results
+
+
+def single_process_reference(n_devices, fixture_dir, mesh=None):
+    """Reproduce the cluster workers' step + fused eval single-process.
+
+    Same cfg/seed/global batch as :func:`main` on this process's own
+    ``n_devices``-device mesh — returns ``(loss, param_checksum, f1)``,
+    the values every worker's RESULT/EVALF1 lines must match. Shared by
+    tests/test_multihost.py and ``__graft_entry__.dryrun_multichip`` so
+    the worker protocol has ONE reference implementation.
+    """
+    import numpy as np
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodal_siamese_cd_tpu import evaluation, train_lib
+    from multimodal_siamese_cd_tpu.data.dataset import MultimodalCDDataset
+    from multimodal_siamese_cd_tpu.data.synthetic import fixture_cfg_overrides
+    from multimodal_siamese_cd_tpu.parallel import data_mesh
+
+    if mesh is None:
+        mesh = data_mesh()
+    cfg = worker_cfg(n_devices)
+    model, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    step = train_lib.make_supervised_train_step(model, cfg, mesh=mesh)
+    stack, lab = worker_batch(n_devices)
+    bsh = NamedSharding(mesh, P("data"))
+    new_state, metrics = step(jax.device_get(state),
+                              jax.device_put(stack, bsh),
+                              jax.device_put(lab, bsh),
+                              jax.random.PRNGKey(7))
+    loss = float(metrics["loss"])
+    checksum = float(sum(np.abs(np.asarray(jax.device_get(l))).sum()
+                         for l in jax.tree_util.tree_leaves(new_state.params)))
+
+    cfg.merge_from_list(fixture_cfg_overrides())
+    cfg.PATHS.DATASET = str(fixture_dir)
+    ds = MultimodalCDDataset(cfg, "validation", no_augmentations=True,
+                             dataset_mode="first_last",
+                             disable_multiplier=True, disable_unlabeled=True)
+    m = evaluation.run_measurer(model, jax.device_get(state), ds,
+                                np.asarray([0.5]))
+    f1 = float(np.asarray(m.compute_f1()).max())
+    return loss, checksum, f1
 
 
 def parse_cluster_output(outs):

@@ -62,19 +62,28 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.fast)
 
 
+_TOOL_MODULES: dict = {}
+
+
 def import_tool(name: str):
     """Import ``tools/<name>.py`` by file path WITHOUT mutating sys.path.
 
     Inserting tools/ at sys.path[0] (the obvious alternative) leaks for the
     rest of the pytest session: any later bare import matching a tools/*.py
-    name would silently resolve to the tool module.
+    name would silently resolve to the tool module. Modules are cached in a
+    private table (not sys.modules — tool names must not shadow real
+    imports) so two tests loading the same tool share one execution and one
+    set of class identities.
     """
     import importlib.util
 
+    if name in _TOOL_MODULES:
+        return _TOOL_MODULES[name]
     path = REPO_ROOT / "tools" / f"{name}.py"
     spec = importlib.util.spec_from_file_location(name, path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    _TOOL_MODULES[name] = mod
     return mod
 
 

@@ -184,6 +184,39 @@ def test_lifecycle_plan_uses_config_batch():
     assert lifecycle_run.window_rates(b, 312, 8, start_step=624) == [80.0]
 
 
+def test_lifecycle_dataset_generation_is_atomic(tmp_path, monkeypatch):
+    """An interrupted multi-minute generation must not dead-end the tool:
+    ensure_dataset generates into a .partial sibling and renames, so the
+    foreign-tree guard (refuse to delete what this tool didn't write) never
+    fires on the tool's own half-written output."""
+    from conftest import import_tool
+
+    lifecycle_run = import_tool("lifecycle_run")
+    for name in ("TRAIN", "VAL", "TEST", "UNLAB"):
+        monkeypatch.setattr(lifecycle_run, name, [f"L15-tiny{name}"])
+
+    root = tmp_path / "ds"
+    lifecycle_run.ensure_dataset(root, 32)
+    marker = root / "lifecycle_gen_params.json"
+    assert marker.exists() and not root.with_name("ds.partial").exists()
+
+    # idempotent: same params -> no regeneration (marker mtime unchanged)
+    before = marker.stat().st_mtime_ns
+    lifecycle_run.ensure_dataset(root, 32)
+    assert marker.stat().st_mtime_ns == before
+
+    # changed params -> regenerates over its own tree
+    lifecycle_run.ensure_dataset(root, 48)
+    assert json.loads(marker.read_text())["scene"] == 48
+
+    # an interrupted generation (simulated: stale .partial + marker-less
+    # root) still succeeds — .partial is swept, root is foreign-guarded
+    (root.with_name("ds.partial")).mkdir()
+    marker.unlink()
+    with pytest.raises(SystemExit, match="refusing to overwrite"):
+        lifecycle_run.ensure_dataset(root, 32)
+
+
 def test_jsonl_logging_sink(tmp_path):
     wandb_compat.init("runx", config={"A": 1}, mode="jsonl", out_dir=tmp_path)
     wandb_compat.log({"loss": 0.5, "step": 1})

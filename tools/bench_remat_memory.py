@@ -155,6 +155,11 @@ def main():
     ap.add_argument("--wedge-timeout", type=float, default=600.0,
                     help="abort if no backend exists after this many seconds")
     args = ap.parse_args()
+    if args.cpu and args.topology:
+        ap.error("--cpu and --topology are contradictory: topology mode "
+                 "AOT-compiles for the NAMED TPU topology regardless of the "
+                 "attached backend, so the numbers would be TPU numbers "
+                 "mislabeled as advisory-CPU")
 
     import jax
 
@@ -170,7 +175,7 @@ def main():
             os._exit(2)
 
     threading.Thread(target=watch, daemon=True).start()
-    if args.topology and not args.cpu:
+    if args.topology:
         # pure AOT against an unattached topology: the analysis never
         # touches the attached backend (build_step returns abstract state),
         # so don't probe it — a default_backend() call here would pay the

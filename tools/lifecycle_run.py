@@ -35,7 +35,8 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-sys.path.insert(0, str(REPO))
+if str(REPO) not in sys.path:  # idempotent: tests exec this module in-process
+    sys.path.insert(0, str(REPO))
 
 # regime -> (trainer CLI, headline config, trains on unlabeled AOIs too) —
 # config choice mirrors tools/convergence_run.py
@@ -62,13 +63,11 @@ def ensure_dataset(root: Path, scene: int) -> None:
     marker = root / "lifecycle_gen_params.json"
     if marker.exists() and json.loads(marker.read_text()) == params:
         return
-    if root.exists():
-        if not marker.exists():
-            # NEVER delete a tree this tool didn't generate
-            raise SystemExit(
-                f"{root} exists but has no {marker.name}; refusing to "
-                f"overwrite a dataset this tool did not generate")
-        shutil.rmtree(root)
+    if root.exists() and not marker.exists():
+        # NEVER delete a tree this tool didn't generate
+        raise SystemExit(
+            f"{root} exists but has no {marker.name}; refusing to "
+            f"overwrite a dataset this tool did not generate")
     from multimodal_siamese_cd_tpu.data.synthetic import (
         generate_fixture_dataset)
 
@@ -78,8 +77,17 @@ def ensure_dataset(root: Path, scene: int) -> None:
           f"~{scene}^2 scenes)...", flush=True)
     aois = {a: True for a in TRAIN + VAL + TEST}
     aois.update({a: False for a in UNLAB})
-    generate_fixture_dataset(root, scene_size=(scene, scene), aois=aois)
-    marker.write_text(json.dumps(params))
+    # generate into a sibling and rename at the end: an interrupted
+    # multi-minute generation must not leave a marker-less tree at `root`
+    # that the guard above would then permanently refuse to replace
+    tmp = root.with_name(root.name + ".partial")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    generate_fixture_dataset(tmp, scene_size=(scene, scene), aois=aois)
+    (tmp / marker.name).write_text(json.dumps(params))
+    if root.exists():
+        shutil.rmtree(root)
+    tmp.rename(root)
     print(f"dataset generated in {time.time() - t0:.0f} s", flush=True)
 
 
@@ -280,14 +288,24 @@ def main() -> int:
 
     # ---- phase B: resume from the epoch-(E-1) checkpoint ------------------
     # same transient-wedge tolerance: restore the log to the phase-A
-    # snapshot before each attempt so records never duplicate
+    # snapshot before each attempt so records never duplicate. Phase B is
+    # bounded too (the trainer's wedge watchdog only guards the FIRST
+    # warmup fetch — a mid-run tunnel wedge would otherwise hang forever):
+    # it runs one epoch where phase A ran up to `epochs`, so phase A's
+    # own wall time is a generous per-attempt budget
+    phase_b_timeout = max(time.time() - t0, 900.0)
     for attempt in range(3):
         jsonl.write_bytes(jsonl_a_bytes)
         t1 = time.time()
         proc, logf = launch(
             base_cmd + ["TRAINER.RESUME_CHECKPOINT", str(resume_epoch)],
             console)
-        rc = proc.wait()
+        try:
+            rc = proc.wait(timeout=phase_b_timeout)
+        except subprocess.TimeoutExpired:
+            proc.send_signal(signal.SIGKILL)
+            proc.wait()
+            rc = "wedged"
         logf.close()
         if rc == 0:
             break
@@ -337,7 +355,13 @@ def main() -> int:
                   "-c", config, "-o", str(out), "-d", str(data)] \
         + overrides(args) \
         + ["INFERENCE_CHECKPOINT", str(args.epochs)]
-    r = subprocess.run(assess_cmd, cwd=REPO, capture_output=True, text=True)
+    try:
+        r = subprocess.run(assess_cmd, cwd=REPO, capture_output=True,
+                           text=True, timeout=phase_b_timeout)
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            f"offline assessment wedged (> {phase_b_timeout:.0f} s) — "
+            "likely a tunnel stall; rerun assessment_change.py manually")
     print(r.stdout[-2000:], flush=True)
     if r.returncode:
         print(r.stderr[-3000:], flush=True)
