@@ -21,6 +21,32 @@ def checkpoint_file(cfg, epoch) -> Path:
     return Path(cfg.PATHS.OUTPUT) / 'networks' / f'{cfg.NAME}_checkpoint{epoch}.pt'
 
 
+def latest_checkpoint_epoch(cfg):
+    """Highest epoch with a ``{NAME}_checkpoint{epoch}.pt`` on disk, or None.
+
+    Discovery half of ``TRAINER.RESUME_CHECKPOINT: latest`` — restart the
+    same command after a preemption and it finds its own newest checkpoint.
+    Only integer epoch tags count (the trainers save integers); partial
+    ``.tmp{pid}`` files from a crash mid-save never match the ``.pt``
+    suffix, and other experiments' checkpoints in the same OUTPUT are
+    excluded by the NAME prefix.
+    """
+    net_dir = Path(cfg.PATHS.OUTPUT) / 'networks'
+    if not net_dir.is_dir():
+        return None
+    prefix, best = f'{cfg.NAME}_checkpoint', None
+    for f in net_dir.iterdir():
+        if not (f.name.startswith(prefix) and f.name.endswith('.pt')):
+            continue
+        try:
+            epoch = int(f.name[len(prefix):-3])
+        except ValueError:
+            continue
+        if best is None or epoch > best:
+            best = epoch
+    return best
+
+
 def save_checkpoint(state: train_lib.TrainState, epoch, step: int, cfg) -> Path:
     """reference networks.py:30-38."""
     save_file = checkpoint_file(cfg, epoch)

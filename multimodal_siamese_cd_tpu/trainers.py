@@ -84,8 +84,15 @@ def _create_or_resume(cfg):
     """Build the train state, optionally restoring a checkpoint when
     ``TRAINER.RESUME_CHECKPOINT`` names an epoch (new capability; the
     reference cannot resume mid-run — SURVEY §5 failure-detection row).
-    Returns (model, state, start_step)."""
+    The sentinel ``latest`` (or ``auto``) discovers the newest
+    ``{NAME}_checkpoint{epoch}.pt`` in ``{OUTPUT}/networks/`` itself, so a
+    preempted run restarts with the SAME command line; an empty directory
+    is a cold start, not an error. Returns (model, state, start_step)."""
     resume = cfg.TRAINER.get('RESUME_CHECKPOINT', None)
+    if isinstance(resume, str) and resume.lower() in ('latest', 'auto'):
+        resume = checkpoints.latest_checkpoint_epoch(cfg)
+        if resume is None:
+            print('RESUME_CHECKPOINT latest: no checkpoint found; cold start')
     if resume is not None and resume != '':
         model, state, step = checkpoints.load_checkpoint(resume, cfg)
         print(f'resumed from checkpoint epoch {resume} (step {step})')

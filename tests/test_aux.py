@@ -51,6 +51,36 @@ def test_create_without_resume(cfg):
     assert start_step == 0
 
 
+def test_resume_latest_picks_newest_epoch(cfg):
+    """RESUME_CHECKPOINT 'latest' discovers the highest-epoch checkpoint
+    without anyone naming it (VERDICT r4 item 4: restart the same command
+    after preemption)."""
+    _, state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    for epoch, step in [(1, 10), (3, 30), (2, 20)]:
+        checkpoints.save_checkpoint(state, epoch=epoch, step=step, cfg=cfg)
+    # distractors: another experiment's checkpoint, a crash-partial tmp file
+    net_dir = checkpoints.checkpoint_file(cfg, 1).parent
+    (net_dir / 'other_checkpoint9.pt').write_bytes(b'x')
+    (net_dir / f'{cfg.NAME}_checkpoint4.pt.tmp123').write_bytes(b'x')
+    (net_dir / f'{cfg.NAME}_checkpointfinal.pt').write_bytes(b'x')
+    assert checkpoints.latest_checkpoint_epoch(cfg) == 3
+    cfg.TRAINER.RESUME_CHECKPOINT = 'latest'
+    _, _, start_step = _create_or_resume(cfg)
+    assert start_step == 30
+
+
+def test_resume_latest_cold_start(cfg):
+    """'latest' with no checkpoint directory (or an empty one) is a cold
+    start at step 0, not an error."""
+    cfg.TRAINER.RESUME_CHECKPOINT = 'latest'
+    _, _, start_step = _create_or_resume(cfg)
+    assert start_step == 0
+    # empty networks/ dir (exists, no checkpoints) also cold-starts
+    checkpoints.checkpoint_file(cfg, 1).parent.mkdir(parents=True)
+    _, _, start_step = _create_or_resume(cfg)
+    assert start_step == 0
+
+
 def test_loader_set_epoch_continues_schedule(cfg):
     """A resumed run must continue the data schedule, not replay it:
     set_epoch(n) makes the next iteration draw epoch n's shuffle order —

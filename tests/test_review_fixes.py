@@ -41,7 +41,9 @@ def test_resume_continues_epoch_numbering(cfg, capsys):
 
     cfg2 = cfg.clone()
     cfg2.TRAINER.EPOCHS = 2
-    cfg2.TRAINER.RESUME_CHECKPOINT = 1
+    # 'latest' must discover checkpoint 1 itself (explicit-epoch resume is
+    # covered by test_aux.py::test_resume_from_checkpoint)
+    cfg2.TRAINER.RESUME_CHECKPOINT = 'latest'
     trainers.run_supervised(cfg2)
     out = capsys.readouterr().out
     wandb_compat.finish()

@@ -9,8 +9,9 @@ with the reference's control flow at scale (LOG_FREQ=100 full-split
 in-epoch evals, epoch-end evals, SAVE_CHECKPOINTS — reference
 train_supervised.py:84-116), for >= 3 epochs x >= 300 steps, including:
 
-  * a hard SIGKILL mid-epoch-3 (preemption stand-in), then resume from the
-    epoch-2 checkpoint via TRAINER.RESUME_CHECKPOINT;
+  * a hard SIGKILL mid-epoch-3 (preemption stand-in), then an identical
+    restart with TRAINER.RESUME_CHECKPOINT 'latest' — the run discovers
+    the epoch-2 checkpoint itself, no epoch named anywhere;
   * a seam-invisibility assertion: the killed run and the resumed run both
     log the same post-resume window (first LOG_FREQ multiple into epoch 3)
     — every metric in that record must match, proving checkpoint +
@@ -297,8 +298,12 @@ def main() -> int:
     for attempt in range(3):
         jsonl.write_bytes(jsonl_a_bytes)
         t1 = time.time()
+        # no epoch named anywhere: the restarted command discovers the
+        # newest checkpoint itself (auto-resume, round-5 item 4) — the
+        # epoch-(E-1) existence assert above already pinned what 'latest'
+        # must resolve to
         proc, logf = launch(
-            base_cmd + ["TRAINER.RESUME_CHECKPOINT", str(resume_epoch)],
+            base_cmd + ["TRAINER.RESUME_CHECKPOINT", "latest"],
             console)
         try:
             rc = proc.wait(timeout=phase_b_timeout)
