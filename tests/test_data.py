@@ -874,3 +874,35 @@ def test_eval_wire_disabled_cache_falls_back(cfg):
                              dataset_mode="first_last",
                              disable_multiplier=True, disable_unlabeled=True)
     assert ds.eval_wire(0) is None
+
+
+def test_hard_fixture_statistics(tmp_path):
+    """The hard-mode fixture must reproduce SpaceNet7-realistic statistics
+    (round-5 benchmark): per-pair change prevalence in 0.3-2% of pixels,
+    a pre-existing building stock (change-free confusers), unlabeled
+    clutter, and imagery in the [0,1] contract the dataset expects."""
+    from multimodal_siamese_cd_tpu.data.synthetic import generate_hard_dataset
+
+    aois = {"L15-hardA": True, "L15-hardU": False}
+    generate_hard_dataset(tmp_path, aois=aois, scene_size=(192, 192))
+
+    files = sorted((tmp_path / "L15-hardA" / "buildings").iterdir())
+    masks = [geofiles.read_tif(f)[0].squeeze() for f in files]
+    assert len(masks) == 4
+    for t1 in range(len(masks)):
+        for t2 in range(t1 + 1, len(masks)):
+            prevalence = ((masks[t1] == 0) & (masks[t2] == 1)).mean()
+            assert 0.003 <= prevalence <= 0.02, (t1, t2, prevalence)
+    # pre-existing stock: labeled at t0, so never part of any change target
+    assert masks[0].mean() >= 0.015
+    # footprints only grow (the change definition t1==0 AND t2==1 needs it)
+    for a, b in zip(masks, masks[1:]):
+        assert not ((a == 1) & (b == 0)).any()
+
+    for mod in ("s1", "s2"):
+        arr = geofiles.read_tif(
+            sorted((tmp_path / "L15-hardA" / mod).iterdir())[0])[0]
+        assert np.isfinite(arr).all() and arr.min() >= 0 and arr.max() <= 1
+    # unlabeled AOI ships imagery but no label rasters
+    assert not (tmp_path / "L15-hardU" / "buildings").exists()
+    assert (tmp_path / "L15-hardU" / "s1").is_dir()

@@ -34,12 +34,14 @@ TEST = [f"L15-syntest{i}" for i in range(2)]
 UNLAB = [f"L15-synunlab{i}" for i in range(4)]
 
 
-def ensure_dataset(root: Path, scene: int) -> None:
+def ensure_dataset(root: Path, scene: int, hard: bool = False,
+                   signal: float = 1.0, seed: int = 7) -> None:
     import json as _json
     import shutil
 
     params = {"scene": scene, "train": TRAIN, "val": VAL, "test": TEST,
-              "unlab": UNLAB}
+              "unlab": UNLAB, "hard": hard,
+              "signal": signal if hard else None, "seed": seed}
     marker = root / "convergence_gen_params.json"
     if marker.exists() and _json.loads(marker.read_text()) == params:
         return
@@ -52,13 +54,21 @@ def ensure_dataset(root: Path, scene: int) -> None:
                 f"overwrite a dataset this tool did not generate — pass an "
                 f"empty/new --data-dir")
         shutil.rmtree(root)  # our own stale generation: regenerate
-    from multimodal_siamese_cd_tpu.data.synthetic import generate_fixture_dataset
+    from multimodal_siamese_cd_tpu.data.synthetic import (
+        generate_fixture_dataset,
+        generate_hard_dataset,
+    )
 
-    print(f"generating synthetic dataset at {root} ({scene}^2 scenes)...",
-          flush=True)
+    print(f"generating {'HARD ' if hard else ''}synthetic dataset at {root} "
+          f"({scene}^2 scenes)...", flush=True)
     aois = {a: True for a in TRAIN + VAL + TEST}
     aois.update({a: False for a in UNLAB})
-    generate_fixture_dataset(root, scene_size=(scene, scene), aois=aois)
+    if hard:
+        generate_hard_dataset(root, seed=seed, scene_size=(scene, scene),
+                              aois=aois, signal=signal)
+    else:
+        generate_fixture_dataset(root, seed=seed, scene_size=(scene, scene),
+                                 aois=aois)
     marker.write_text(_json.dumps(params))
 
 
@@ -73,13 +83,32 @@ def main() -> int:
     p.add_argument("--log-freq", type=int, default=10)
     p.add_argument("--save-checkpoints", default=None,
                    help="SAVE_CHECKPOINTS override, e.g. '[1]'")
+    p.add_argument("--hard", action="store_true",
+                   help="hard-mode fixture: <2%% change prevalence, "
+                        "confuser buildings/clutter, speckle + drift "
+                        "(synthetic.generate_hard_dataset)")
+    p.add_argument("--signal", type=float, default=1.0,
+                   help="hard-mode building contrast scale")
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--uniform-crop", action="store_true",
+                   help="override AUGMENTATION.IMAGE_OVERSAMPLING_TYPE to "
+                        "'none' (importance-vs-uniform ablation)")
+    p.add_argument("--model", default=None,
+                   help="MODEL.TYPE override (factory-type convergence legs)")
+    p.add_argument("--batch-size", type=int, default=None)
     args = p.parse_args()
 
     script, config = REGIMES[args.regime]
     data = Path(args.data_dir or f"/tmp/convds{args.scene}")
-    out = Path(args.out_dir or f"/tmp/convout_{args.regime}")
+    if args.data_dir is None and args.hard:
+        data = Path(f"/tmp/convds_hard{args.scene}_s{args.signal}")
+    out_tag = args.regime + ("_hard" if args.hard else "") \
+        + (f"_{args.model}" if args.model else "") \
+        + ("_uniform" if args.uniform_crop else "")
+    out = Path(args.out_dir or f"/tmp/convout_{out_tag}")
     out.mkdir(parents=True, exist_ok=True)
-    ensure_dataset(data, args.scene)
+    ensure_dataset(data, args.scene, hard=args.hard, signal=args.signal,
+                   seed=args.seed)
 
     log = out / "logs" / f"{config}.jsonl"
     log.unlink(missing_ok=True)  # the sink appends; keep one run per report
@@ -95,6 +124,12 @@ def main() -> int:
            "TRAINER.EPOCHS", str(args.epochs)]
     if args.save_checkpoints is not None:
         cmd += ["SAVE_CHECKPOINTS", args.save_checkpoints]
+    if args.uniform_crop:
+        cmd += ["AUGMENTATION.IMAGE_OVERSAMPLING_TYPE", "none"]
+    if args.model is not None:
+        cmd += ["MODEL.TYPE", args.model]
+    if args.batch_size is not None:
+        cmd += ["TRAINER.BATCH_SIZE", str(args.batch_size)]
     print("running:", " ".join(cmd), flush=True)
     rc = subprocess.run(cmd, cwd=REPO).returncode
     if rc:
