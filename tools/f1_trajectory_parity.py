@@ -199,6 +199,13 @@ def main() -> int:
                         "report the same max |dF1|. This is the trajectory's "
                         "intrinsic fp-chaos floor; cross-stack deltas at or "
                         "below it carry no parity signal")
+    p.add_argument("--hard", action="store_true",
+                   help="hard-mode fixture (synthetic.generate_hard_dataset):"
+                        " <2%% change prevalence, confusers, speckle/drift —"
+                        " trajectory parity in the regime real SpaceNet7"
+                        " lives in")
+    p.add_argument("--signal", type=float, default=1.0,
+                   help="hard-mode building contrast scale")
     p.add_argument("--data-dir", default=None)
     args = p.parse_args()
 
@@ -233,9 +240,16 @@ def main() -> int:
     test_aois = names[args.n_train + 2:args.n_train + 4]
     unlab_aois = names[args.n_train + 4:]
     aois = {a: a not in unlab_aois for a in names}
-    generate_fixture_dataset(Path(data_dir), seed=args.seed,
-                             scene_size=(args.scene, args.scene),
-                             n_timestamps=4, aois=aois, with_nans=False)
+    if args.hard:
+        from multimodal_siamese_cd_tpu.data.synthetic import generate_hard_dataset
+
+        generate_hard_dataset(Path(data_dir), seed=args.seed,
+                              scene_size=(args.scene, args.scene),
+                              n_timestamps=4, aois=aois, signal=args.signal)
+    else:
+        generate_fixture_dataset(Path(data_dir), seed=args.seed,
+                                 scene_size=(args.scene, args.scene),
+                                 n_timestamps=4, aois=aois, with_nans=False)
 
     cfg = load_cfg("base")
     cfg.MODEL.TYPE = train_lib.REGIME_MODELS[args.regime]
