@@ -45,7 +45,8 @@ EXTENSION_KEYS = frozenset({
     "TRAINER.STEPS_PER_EXECUTION", # trainers.py: scan-fused step window
     "TRAINER.EVAL_PAD_MULTIPLE",   # evaluation.py: eval bucket granularity
     "TRAINER.PROFILE_DIR",         # trainers.py: jax.profiler trace dir
-    "TRAINER.RESUME_CHECKPOINT",   # trainers.py: resume epoch
+    "TRAINER.RESUME_CHECKPOINT",   # trainers.py: resume epoch (or 'latest')
+    "TRAINER.WEDGE_TIMEOUT",       # trainers.py: first-fetch watchdog secs
     "DATALOADER.WORKER_TYPE",      # trainers.py: thread/process loader
     "DATALOADER.SCENE_CACHE",      # cache.py: packed scene cache on/off
     "DATALOADER.CACHE_DIR",        # cache.py: cache location override

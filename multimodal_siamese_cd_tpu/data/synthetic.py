@@ -172,7 +172,7 @@ def generate_hard_dataset(
     change_per_step: float = 0.004,
     preexisting_fraction: float = 0.02,
     clutter_fraction: float = 0.015,
-    signal: float = 1.0,
+    signal: float = 0.3,
 ) -> dict:
     """Write a hard-mode synthetic dataset tree under ``root``.
 
@@ -180,7 +180,11 @@ def generate_hard_dataset(
     interval, so a (t1, t2) pair carries ≈ (t2-t1)·change_per_step change
     prevalence (0.4%–1.2% at the defaults with n_timestamps=4).
     ``signal`` scales building contrast relative to the fixed noise model —
-    the calibration knob that sets where headline configs land on F1.
+    the calibration knob that sets where headline configs land on F1. The
+    default 0.3 was calibrated ON CHIP (round 5, BASELINE.md): the headline
+    supervised config reaches test F1 ~0.75 after 384 steps at 512² scenes
+    (signal 0.4 → 0.84, signal 1.0 → 0.98 ≈ the easy fixture's saturation),
+    i.e. mid-range — learnable but noise-limited, like real SpaceNet7.
     Returns the metadata dict (same layout contract as
     :func:`generate_fixture_dataset`).
     """

@@ -219,7 +219,12 @@ def _execution_plan(cfg, model, regime, mesh, loader, start_step: int = 0):
         if cfg.DEBUG:
             k = 1
         else:
-            ms = measure_dispatch_latency_ms()
+            # WEDGE_TIMEOUT: seconds allowed for the first device fetch
+            # (compile + tunnel warmup). 900 s covers the healthy worst
+            # case here, but transiently slow tunnel days exceed it
+            # (observed round 5) — harnesses that retry anyway can widen it
+            ms = measure_dispatch_latency_ms(
+                float(cfg.TRAINER.get('WEDGE_TIMEOUT', 900.0)))
             if jax.process_count() > 1:
                 # every process must enqueue the SAME program over the
                 # global mesh: the latency probe is wall-clock noise, so

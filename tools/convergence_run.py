@@ -87,8 +87,9 @@ def main() -> int:
                    help="hard-mode fixture: <2%% change prevalence, "
                         "confuser buildings/clutter, speckle + drift "
                         "(synthetic.generate_hard_dataset)")
-    p.add_argument("--signal", type=float, default=1.0,
-                   help="hard-mode building contrast scale")
+    p.add_argument("--signal", type=float, default=0.3,
+                   help="hard-mode building contrast scale (0.3 = the "
+                        "on-chip calibrated mid-range-F1 default)")
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--uniform-crop", action="store_true",
                    help="override AUGMENTATION.IMAGE_OVERSAMPLING_TYPE to "
@@ -121,6 +122,9 @@ def main() -> int:
            "DATASET.UNLABELED_IDS", repr(UNLAB),
            "DATALOADER.TRAINING_MULTIPLIER", str(args.multiplier),
            "LOG_FREQ", str(args.log_freq),
+           # transiently slow tunnel days exceed the 900 s default budget
+           # for compile+warmup-to-first-fetch (observed round 5)
+           "TRAINER.WEDGE_TIMEOUT", "1800",
            "TRAINER.EPOCHS", str(args.epochs)]
     if args.save_checkpoints is not None:
         cmd += ["SAVE_CHECKPOINTS", args.save_checkpoints]

@@ -204,8 +204,9 @@ def main() -> int:
                         " <2%% change prevalence, confusers, speckle/drift —"
                         " trajectory parity in the regime real SpaceNet7"
                         " lives in")
-    p.add_argument("--signal", type=float, default=1.0,
-                   help="hard-mode building contrast scale")
+    p.add_argument("--signal", type=float, default=0.3,
+                   help="hard-mode building contrast scale (0.3 = the "
+                        "on-chip calibrated mid-range-F1 default)")
     p.add_argument("--data-dir", default=None)
     args = p.parse_args()
 

@@ -280,7 +280,7 @@ def main() -> int:
     p.add_argument("--rehearsal", choices=["easy", "hard"], default=None,
                    help="no real data: generate the synthetic fixture and "
                         "run the identical protocol at reduced scale")
-    p.add_argument("--signal", type=float, default=1.0)
+    p.add_argument("--signal", type=float, default=0.3)
     p.add_argument("--scene", type=int, default=256)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--crop", type=int, default=None)
