@@ -147,17 +147,29 @@ def _bilinear_field(rng: np.random.Generator, h: int, w: int, cell: int,
 
 def _paint_buildings(rng: np.random.Generator, mask: np.ndarray,
                      boost: np.ndarray, target_px: float,
-                     contrast: tuple[float, float]) -> None:
+                     contrast: tuple[float, float],
+                     centers: list | None = None,
+                     spread: float | None = None) -> None:
     """Paint small rectangles into ``mask`` (binary) and ``boost`` (per-
     building contrast in ``contrast`` range) until ~``target_px`` new pixels
-    are set. SpaceNet7 buildings at 4 m/px are a few pixels on a side."""
+    are set. SpaceNet7 buildings at 4 m/px are a few pixels on a side.
+
+    With ``centers``, positions are drawn Gaussian around those growth
+    clusters (σ = ``spread``) instead of uniformly — real construction
+    clusters in development zones, which is exactly what makes most
+    uniform crops change-free and ImportanceRandomCrop worth having."""
     h, w = mask.shape
     painted = 0
     while painted < target_px:
         bh = int(rng.integers(2, 9))
         bw = int(rng.integers(2, 9))
-        i = int(rng.integers(0, h - bh))
-        j = int(rng.integers(0, w - bw))
+        if centers is None:
+            i = int(rng.integers(0, h - bh))
+            j = int(rng.integers(0, w - bw))
+        else:
+            ci, cj = centers[int(rng.integers(len(centers)))]
+            i = int(np.clip(rng.normal(ci, spread), 0, h - bh))
+            j = int(np.clip(rng.normal(cj, spread), 0, w - bw))
         painted += int((~mask[i:i + bh, j:j + bw].astype(bool)).sum())
         mask[i:i + bh, j:j + bw] = 1
         boost[i:i + bh, j:j + bw] = rng.uniform(*contrast)
@@ -207,12 +219,20 @@ def generate_hard_dataset(
         boost = np.zeros((h, w), dtype=np.float32)
         _paint_buildings(rng, mask, boost, preexisting_fraction * n_px,
                          contrast=(0.4, 1.0))
+        # growth clusters: new construction concentrates in 1-3 development
+        # zones per AOI (σ ≈ 8% of the scene side), so at production
+        # crop:scene ratios most uniform crops carry ZERO change — the
+        # regime ImportanceRandomCrop exists for
+        spread = max(8.0, 0.04 * min(h, w))
+        centers = [(float(rng.uniform(0, h)), float(rng.uniform(0, w)))
+                   for _ in range(int(rng.integers(1, 3)))]
         masks, boosts = [], []
         for _ in range(n_timestamps):
             masks.append(mask.copy())
             boosts.append(boost.copy())
             _paint_buildings(rng, mask, boost, change_per_step * n_px,
-                             contrast=(0.3, 1.0))
+                             contrast=(0.3, 1.0), centers=centers,
+                             spread=spread)
 
         # unlabeled clutter: building-like in imagery, in NO label, static
         cl_mask = np.zeros((h, w), dtype=np.uint8)

@@ -895,6 +895,16 @@ def test_hard_fixture_statistics(tmp_path):
             assert 0.003 <= prevalence <= 0.02, (t1, t2, prevalence)
     # pre-existing stock: labeled at t0, so never part of any change target
     assert masks[0].mean() >= 0.015
+    # change is CLUSTERED in growth zones (the ImportanceRandomCrop regime):
+    # a majority of crop-sized windows must carry zero change even for the
+    # widest (t0, t3) pair (measured 64-88% across seeds; pin a safe floor)
+    ch = (masks[0] == 0) & (masks[-1] == 1)
+    zero = total = 0
+    for i in range(0, ch.shape[0] - 64 + 1, 32):
+        for j in range(0, ch.shape[1] - 64 + 1, 32):
+            total += 1
+            zero += not ch[i:i + 64, j:j + 64].any()
+    assert zero / total >= 0.5, f"change not clustered: {zero}/{total}"
     # footprints only grow (the change definition t1==0 AND t2==1 needs it)
     for a, b in zip(masks, masks[1:]):
         assert not ((a == 1) & (b == 0)).any()

@@ -96,14 +96,20 @@ def main() -> int:
                         "'none' (importance-vs-uniform ablation)")
     p.add_argument("--model", default=None,
                    help="MODEL.TYPE override (factory-type convergence legs)")
+    p.add_argument("--config", default=None,
+                   help="config name override (default: the regime's "
+                        "headline config)")
     p.add_argument("--batch-size", type=int, default=None)
     args = p.parse_args()
 
     script, config = REGIMES[args.regime]
+    if args.config is not None:
+        config = args.config
     data = Path(args.data_dir or f"/tmp/convds{args.scene}")
     if args.data_dir is None and args.hard:
         data = Path(f"/tmp/convds_hard{args.scene}_s{args.signal}")
     out_tag = args.regime + ("_hard" if args.hard else "") \
+        + (f"_{args.config}" if args.config else "") \
         + (f"_{args.model}" if args.model else "") \
         + ("_uniform" if args.uniform_crop else "")
     out = Path(args.out_dir or f"/tmp/convout_{out_tag}")
@@ -135,7 +141,15 @@ def main() -> int:
     if args.batch_size is not None:
         cmd += ["TRAINER.BATCH_SIZE", str(args.batch_size)]
     print("running:", " ".join(cmd), flush=True)
-    rc = subprocess.run(cmd, cwd=REPO).returncode
+    # the tunneled backend has observed transient stalls that trip the
+    # trainer's wedge watchdog (rc=2) before the first step — rig
+    # flakiness, not a training failure: retry with a clean log
+    for attempt in range(3):
+        log.unlink(missing_ok=True)
+        rc = subprocess.run(cmd, cwd=REPO).returncode
+        if rc == 0:
+            break
+        print(f"attempt {attempt + 1} failed rc={rc}; retrying", flush=True)
     if rc:
         return rc
 

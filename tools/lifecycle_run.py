@@ -56,11 +56,11 @@ TEST = [f"L15-lftest{i}" for i in range(12)]
 UNLAB = [f"L15-lfunlab{i}" for i in range(20)]
 
 
-def ensure_dataset(root: Path, scene: int) -> None:
+def ensure_dataset(root: Path, scene: int, hard: bool = False) -> None:
     import shutil
 
     params = {"scene": scene, "train": TRAIN, "val": VAL, "test": TEST,
-              "unlab": UNLAB, "v": 1}
+              "unlab": UNLAB, "v": 1, "hard": hard}
     marker = root / "lifecycle_gen_params.json"
     if marker.exists() and json.loads(marker.read_text()) == params:
         return
@@ -70,10 +70,12 @@ def ensure_dataset(root: Path, scene: int) -> None:
             f"{root} exists but has no {marker.name}; refusing to "
             f"overwrite a dataset this tool did not generate")
     from multimodal_siamese_cd_tpu.data.synthetic import (
-        generate_fixture_dataset)
+        generate_fixture_dataset,
+        generate_hard_dataset,
+    )
 
     t0 = time.time()
-    print(f"generating synthetic dataset at {root} "
+    print(f"generating {'HARD ' if hard else ''}synthetic dataset at {root} "
           f"({len(TRAIN)}/{len(VAL)}/{len(TEST)}+{len(UNLAB)} AOIs, "
           f"~{scene}^2 scenes)...", flush=True)
     aois = {a: True for a in TRAIN + VAL + TEST}
@@ -84,7 +86,10 @@ def ensure_dataset(root: Path, scene: int) -> None:
     tmp = root.with_name(root.name + ".partial")
     if tmp.exists():
         shutil.rmtree(tmp)
-    generate_fixture_dataset(tmp, scene_size=(scene, scene), aois=aois)
+    if hard:
+        generate_hard_dataset(tmp, scene_size=(scene, scene), aois=aois)
+    else:
+        generate_fixture_dataset(tmp, scene_size=(scene, scene), aois=aois)
     (tmp / marker.name).write_text(json.dumps(params))
     if root.exists():
         shutil.rmtree(root)
@@ -196,13 +201,18 @@ def main() -> int:
     p.add_argument("--out-dir", default=None)
     p.add_argument("--kill-timeout", type=float, default=7200,
                    help="abort if the kill window never arrives (s)")
+    p.add_argument("--hard", action="store_true",
+                   help="hard-mode fixture (SpaceNet7-realistic statistics; "
+                        "synthetic.generate_hard_dataset, calibrated "
+                        "signal 0.3)")
     args = p.parse_args()
 
     script, config, with_unlabeled = REGIMES[args.regime]
-    data = Path(args.data_dir or f"/tmp/lifecycle_ds{args.scene}")
-    out = Path(args.out_dir or f"/tmp/lifecycle_out{args.scene}_{args.regime}")
+    tag = f"{args.scene}{'_hard' if args.hard else ''}"
+    data = Path(args.data_dir or f"/tmp/lifecycle_ds{tag}")
+    out = Path(args.out_dir or f"/tmp/lifecycle_out{tag}_{args.regime}")
     out.mkdir(parents=True, exist_ok=True)
-    ensure_dataset(data, args.scene)
+    ensure_dataset(data, args.scene, hard=args.hard)
 
     run_plan = plan(args.regime, args.multiplier, args.log_freq, args.epochs,
                     batch=args.batch)
