@@ -654,3 +654,37 @@ def test_bench_payload_contract():
     assert payload["vs_torch"]["supervised"] == pytest.approx(
         payload["vs_baseline"], rel=0.01)
     json.dumps(payload)  # single-line parseable
+
+
+def test_model_scaling_collective_parser():
+    """tools/model_scaling.py must parse collectives out of OPTIMIZED
+    TPU HLO, whose shapes carry layout groups like ``{0:T(128)S(1)}`` —
+    parens inside the layout broke the original shape regex and reported
+    ZERO collectives for a step that all-reduces 46 MiB (round-5 bug).
+    Operand REFERENCES (``get-tuple-element(%all-reduce.N)``) must not
+    count; async ``-start``/``-done`` pairs must count exactly once."""
+    from conftest import import_tool
+
+    ms = import_tool("model_scaling")
+
+    hlo = "\n".join([
+        "ENTRY %main () -> f32[] {",
+        # variadic sync all-reduce, TPU layouts (the regression shape)
+        "  %all-reduce.256 = (bf16[2,3,128,128]{2,3,1,0:T(8,128)(2,1)S(1)},"
+        " bf16[128]{0:T(128)S(1)}) all-reduce(%a, %b), replica_groups={}",
+        # operand reference: must NOT count as a collective
+        "  %get-tuple-element.1 = bf16[128]{0:T(128)S(1)}"
+        " get-tuple-element(%all-reduce.256), index=1",
+        # async pair: -start carries the shapes, -done must not double-count
+        "  %all-gather-start.3 = f32[8,16]{1,0:T(8,128)}"
+        " all-gather-start(%c), dimensions={0}",
+        "  %all-gather-done.3 = f32[8,16]{1,0:T(8,128)}"
+        " all-gather-done(%all-gather-start.3)",
+        "  ROOT %reduce-scatter.9 = f32[4]{0} reduce-scatter(%d)",
+        "}",
+    ])
+    out = ms.collective_bytes(hlo)
+    assert out["all-reduce"]["count"] == 1
+    assert out["all-reduce"]["bytes"] == 2 * (2 * 3 * 128 * 128 + 128)
+    assert out["all-gather"] == {"count": 1, "bytes": 4 * 8 * 16}
+    assert out["reduce-scatter"] == {"count": 1, "bytes": 16}

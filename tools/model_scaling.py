@@ -77,27 +77,36 @@ def _shape_bytes(shape_str: str) -> int:
     return n * _DTYPE_BYTES.get(dtype, 4)
 
 
+_COLL_RE = re.compile(
+    # the op name sits between the (possibly tuple, layout-annotated) result
+    # shape and its argument list: `... ) all-reduce(%arg, ...` — requiring
+    # the preceding shape-terminator+space keeps operand REFERENCES like
+    # `get-tuple-element(%all-reduce.255)` (prefixed `%`) from matching, and
+    # TPU layout groups like `{0:T(128)S(1)}` from truncating a shape regex
+    r"[\]\})] (" + "|".join(_COLLECTIVES) + r")(?:-start)?(?:\.\d+)?\(")
+
+
 def collective_bytes(hlo_text: str) -> dict:
     """Sum operand bytes per collective kind over the optimized HLO.
 
     Counts each collective's OUTPUT shapes (for all-reduce output==input
     payload; for reduce-scatter/all-gather the output is the per-device
-    honest size). Fusion computations can't contain collectives, so a flat
-    line scan over instruction definitions is exact.
+    honest size). Async `-start`/`-done` pairs count once (the start op
+    carries the shapes). Fusion computations can't contain collectives, so
+    a flat line scan over instruction definitions is exact.
     """
     per_kind: dict = {}
     for line in hlo_text.splitlines():
         line = line.strip()
-        # instruction definition lines look like:  %name = TYPE[...] kind(...)
-        m = re.match(r"%?[\w.\-]+ = ((?:\([^)]*\))|(?:\w+\[[^\]]*\][^ ]*)) "
-                     r"([\w\-]+)\(", line)
+        if not (line.startswith("%") or line.startswith("ROOT ")) \
+                or " = " not in line:
+            continue
+        rhs = line.split(" = ", 1)[1]
+        m = _COLL_RE.search(rhs)
         if not m:
             continue
-        shapes, op = m.groups()
-        kind = next((c for c in _COLLECTIVES if op == c or
-                     op.startswith(c + ".")), None)
-        if kind is None:
-            continue
+        kind = m.group(1)
+        shapes = rhs[:m.start() + 1]  # result shape(s), layouts included
         total = sum(_shape_bytes(s)
                     for s in re.findall(r"\w+\[[\d,]*\]", shapes))
         rec = per_kind.setdefault(kind, {"count": 0, "bytes": 0})
