@@ -166,7 +166,10 @@ def test_graft_entry_dryrun():
         "os.environ['XLA_FLAGS']=os.environ.get('XLA_FLAGS','')+' --xla_force_host_platform_device_count=8'\n"
         "import jax; jax.config.update('jax_platforms','cpu')\n"
         "import __graft_entry__ as g\n"
-        "g.dryrun_multichip(8)\n"
+        # smoke subset: the 6 trace-coverage-critical surfaces. The later
+        # surfaces each have a dedicated in-suite test (test_train_lib /
+        # test_multihost); the driver's own dryrun still runs "all".
+        "g.dryrun_multichip(8, surfaces='smoke')\n"
     )
     proc = subprocess.run([sys.executable, "-c", code], cwd=REPO,
                           capture_output=True, text=True, timeout=900)

@@ -100,7 +100,14 @@ def main() -> int:
                    help="config name override (default: the regime's "
                         "headline config)")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("extra", nargs="*", metavar="KEY VALUE",
+                   help="extra config overrides appended to the CLI — e.g. "
+                        "`DEBUG False` (the upstream unet/baseline_* grid "
+                        "pins DEBUG: True = one step per epoch, reproduced "
+                        "faithfully by the shipped configs)")
     args = p.parse_args()
+    if len(args.extra) % 2:
+        p.error("extra overrides must come in KEY VALUE pairs")
 
     script, config = REGIMES[args.regime]
     if args.config is not None:
@@ -140,6 +147,7 @@ def main() -> int:
         cmd += ["MODEL.TYPE", args.model]
     if args.batch_size is not None:
         cmd += ["TRAINER.BATCH_SIZE", str(args.batch_size)]
+    cmd += args.extra
     print("running:", " ".join(cmd), flush=True)
     # the tunneled backend has observed transient stalls that trip the
     # trainer's wedge watchdog (rc=2) before the first step — rig
