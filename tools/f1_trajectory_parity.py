@@ -102,13 +102,20 @@ def build_batch_sequence(train_items, n_steps, batch, crop, seed, n_s1):
     Returns ((n_steps, batch, crop, crop, 15) stacks in this repo's joint
     layout [s1_t1|s1_t2|s2_t1|s2_t2|b_t1|b_t2|change], (n_steps, batch)
     is_labeled). Items carry ``item['is_labeled']``; unlabeled crops get
-    zeroed labels (reference datasets.py:145)."""
+    zeroed labels (reference datasets.py:145).
+
+    ``train_items`` is either a pre-fetched item list (fixed timestamp
+    pairs — what this tool's twin-stack comparison uses) or a CALLABLE
+    ``draw(rng) -> item`` so each sample re-draws its timestamp pair
+    (the reference trainer's own random-pair distribution — what
+    parity_run's torch-reference side uses)."""
     rng = np.random.default_rng(seed)
     steps = np.empty((n_steps, batch, crop, crop, 15), np.float32)
     labeled = np.empty((n_steps, batch), np.float32)
     for s in range(n_steps):
         for b in range(batch):
-            item = train_items[int(rng.integers(len(train_items)))]
+            item = train_items(rng) if callable(train_items) else \
+                train_items[int(rng.integers(len(train_items)))]
             x1, x2, y = item["x_t1"], item["x_t2"], item["y_change"]
             is_lab = float(item.get("is_labeled", True))
             h, w = y.shape[:2]
